@@ -1,0 +1,378 @@
+"""The crawl loop — owlcrawler's fetcher/extractor/NATS dataflow re-expressed
+as checkpointed frontier generations over DataFrames (SURVEY.md §2.4, §3.4).
+
+Reference steady state: NATS ``fetch_url``/``extract_url`` FIFO subjects with
+competing consumers (``/root/reference/fetcher.go:86-104``,
+``/root/reference/extractor.go:94-109``), CouchDB as both store and seen-set
+(``/root/reference/couchdb/couchdb.go:143-179,254-280``). Here each
+generation is one Spark job:
+
+    gen(g):  F_g = committed frontier snapshot
+      1. dedup:      F_g ANTI-JOIN crawled ON url        (O3; Bloom prefilter)
+      2. robots:     minus disallowed(host, path)        (north_rule addition)
+      3. politeness: per-host row_number ≤ k split       (O4; rest deferred)
+      4. fetch:      JOIN pages store ON url             (O5; simulated fetch)
+      5. extract:    pandas UDF → text/links             (O10/O11)
+      6. commit:     append crawled gen-g, write metrics (O6/O12/O15)
+      7. expand:     posexplode(links_candidate) ∪ deferred, first-wins     (O13)
+
+Ordering: every frontier row carries ``path ARRAY<LONG>`` — seeds ``[i]``,
+link j of a page with path P gets ``P || [j]``. FIFO order ==
+``ORDER BY size(path), path`` with no global sequence assignment anywhere in
+the hot loop (SURVEY.md §4.3.3); an explicit ``seq`` is materialized only by
+:meth:`CrawlEngine.crawl_order` for equivalence tests.
+
+Scale posture: the dedup join and expansion shuffle on url; the politeness
+window shuffles on (host, salt) with two-phase top-k for hot hosts; the
+fetch join broadcasts the frontier side when small (AQE handles the switch
+otherwise); every generation commits to the snapshot store, so lineage never
+accumulates across iterations and any generation can resume from disk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from owlfrontier import bloom as bloommod
+from owlfrontier.extract import extraction_udf
+from owlfrontier.politeness import budget_split, fifo_order
+from owlfrontier.robots import robots_udf
+from owlfrontier.storage import SnapshotStore
+from owlfrontier.urlutil import HOST_REGEX, PATH_REGEX
+
+
+@dataclass
+class CrawlConfig:
+    politeness_k: int | None = None  # None = unbounded (reference BFS)
+    robots_enabled: bool = False  # reference-equivalence default: off
+    max_generations: int = 100
+    salt_buckets: int = 8  # hot-host defuse for window + writes
+    frontier_partitions: int = 32
+    use_bloom: bool | str = "auto"  # auto: on once crawled set is large
+    bloom_auto_threshold: int = 50_000
+    bloom_fpp: float = 0.01
+    broadcast_frontier_rows: int = 100_000
+
+
+_FRONTIER_SCHEMA = "url string, host string, path array<bigint>"
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark,
+        pages_df: DataFrame,
+        store_root: str,
+        robots_df: DataFrame | None = None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages_df
+        self.store = SnapshotStore(spark, store_root)
+        self.config = config or CrawlConfig()
+        self._extract = extraction_udf()
+        self._bloom: bloommod.BloomFilter | None = None
+        self._crawled_count = 0
+        self._rules = self._build_rules(robots_df) if (
+            robots_df is not None and self.config.robots_enabled
+        ) else None
+
+    # -- public surface -----------------------------------------------------
+
+    def run(self, seeds: list[str] | None = None, resume: bool = False) -> dict:
+        """Run the crawl to frontier exhaustion or max_generations.
+
+        Either ``seeds`` (fresh crawl) or ``resume=True`` (continue from the
+        last committed snapshot — SURVEY.md §5.2.4)."""
+        cfg = self.config
+        if resume:
+            manifest = self.store.read_manifest()
+            if manifest is None:
+                raise ValueError("resume=True but no committed manifest")
+            g = manifest["generation"] + 1
+            crawled_gens = list(manifest["crawled_generations"])
+            metrics = self.store.read_metrics()
+            if manifest["frontier_empty"]:
+                return self._summary(crawled_gens, metrics)
+            self.store.drop_uncommitted("crawled", crawled_gens)
+            self.store.drop_uncommitted("frontier", list(range(g + 1)))
+            frontier = self.store.read_gen("frontier", g)
+            self._rebuild_bloom(crawled_gens)
+        else:
+            if seeds is None:
+                raise ValueError("need seeds for a fresh crawl")
+            g = 0
+            crawled_gens = []
+            metrics = []
+            frontier = self._seed_frontier(seeds)
+            self.store.write_gen(frontier, "frontier", 0)
+            frontier = self.store.read_gen("frontier", 0)
+
+        frontier_size = frontier.count()
+        while g < cfg.max_generations:
+            m, next_frontier = self._generation(
+                frontier, g, crawled_gens, frontier_size
+            )
+            metrics.append(m)
+            if m["fetched"] > 0:
+                crawled_gens.append(g)
+            empty = m["next_frontier"] == 0
+            if not empty:
+                self.store.write_gen(
+                    self._partition_frontier(next_frontier), "frontier", g + 1
+                )
+            next_frontier.unpersist()
+            self.store.commit(g, metrics, empty, crawled_gens)
+            if empty:
+                break
+            frontier = self.store.read_gen("frontier", g + 1)
+            frontier_size = m["next_frontier"]
+            g += 1
+        return self._summary(crawled_gens, metrics)
+
+    def crawled(self) -> DataFrame | None:
+        manifest = self.store.read_manifest()
+        gens = manifest["crawled_generations"] if manifest else []
+        return self.store.read_crawled(gens)
+
+    def crawl_order(self) -> DataFrame:
+        """(seq, generation, url) in exact reference FIFO order — test/export
+        surface only (materializes a global sort, SURVEY.md §4.3.3)."""
+        df = self.crawled()
+        if df is None:
+            return self.spark.createDataFrame(
+                [], "seq bigint, generation int, url string"
+            )
+        w = Window.orderBy(F.col("gen_fetched"), F.size("path"), F.col("path"))
+        return df.select(
+            (F.row_number().over(w) - 1).alias("seq"),
+            F.col("gen_fetched").alias("generation"),
+            "url",
+        )
+
+    def metrics(self) -> list[dict]:
+        return self.store.read_metrics()
+
+    # -- internals ------------------------------------------------------------
+
+    def _seed_frontier(self, seeds: list[str]) -> DataFrame:
+        rows = [(u, i) for i, u in enumerate(seeds)]
+        df = self.spark.createDataFrame(rows, "url string, seq bigint")
+        df = df.select(
+            "url",
+            F.regexp_extract("url", HOST_REGEX, 1).alias("host"),
+            F.array(F.col("seq")).alias("path"),
+        )
+        # first-wins dedup of duplicate seed submissions (O1/O3 at enqueue)
+        w = Window.partitionBy("url").orderBy(*fifo_order())
+        return df.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1
+        ).drop("_rn")
+
+    def _partition_frontier(self, df: DataFrame) -> DataFrame:
+        cfg = self.config
+        # salted repartition on host-hash: hot domains spread over salt
+        # buckets while politeness still sees per-host globals (north_rule)
+        return df.repartition(
+            cfg.frontier_partitions,
+            F.col("host"),
+            F.pmod(F.xxhash64("url"), F.lit(max(1, cfg.salt_buckets))),
+        )
+
+    def _build_rules(self, robots_df: DataFrame) -> DataFrame:
+        rules = robots_df.select(
+            "host", robots_udf()(F.col("robots_txt")).alias("disallows")
+        ).where(F.size("disallows") > 0)
+        return rules
+
+    def _bloom_enabled(self) -> bool:
+        cfg = self.config
+        if cfg.use_bloom == "auto":
+            return self._crawled_count >= cfg.bloom_auto_threshold
+        return bool(cfg.use_bloom)
+
+    def _rebuild_bloom(self, crawled_gens: list[int]) -> None:
+        crawled = self.store.read_crawled(crawled_gens)
+        if crawled is None:
+            return
+        self._crawled_count = crawled.count()
+        if self._bloom_enabled():
+            self._bloom = bloommod.build_from_df(
+                crawled, "url",
+                expected_n=max(self._crawled_count * 4, 1024),
+                fpp=self.config.bloom_fpp,
+            )
+
+    def _dedup(self, frontier: DataFrame, crawled_gens: list[int]) -> DataFrame:
+        """O3 — the three reference gates collapsed into one exact anti-join
+        with an optional broadcast-Bloom prefilter (SURVEY.md §4.3.1)."""
+        crawled = self.store.read_crawled(crawled_gens)
+        if crawled is None:
+            return frontier
+        crawled_urls = crawled.select("url")
+        if self._bloom is not None:
+            probe = bloommod.might_contain_udf(self.spark, self._bloom)
+            tagged = frontier.withColumn(
+                "_maybe", probe(F.xxhash64("url"))
+            )
+            definitely_new = tagged.where(~F.col("_maybe")).drop("_maybe")
+            suspects = tagged.where(F.col("_maybe")).drop("_maybe")
+            survivors = suspects.join(crawled_urls, "url", "left_anti")
+            return definitely_new.unionByName(survivors)
+        return frontier.join(crawled_urls, "url", "left_anti")
+
+    def _robots_gate(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """→ (allowed, blocked). Prefix-Disallow match via higher-order
+        ``exists`` — stays JVM-side; rules join broadcasts when small."""
+        if self._rules is None:
+            return df, df.limit(0)
+        joined = df.join(F.broadcast(self._rules), "host", "left")
+        path_part = F.regexp_extract("url", PATH_REGEX, 1)
+        blocked_cond = F.col("disallows").isNotNull() & F.exists(
+            "disallows",
+            lambda d: F.startswith(
+                F.when(path_part == "", "/").otherwise(path_part), d
+            ),
+        )
+        allowed = joined.where(~blocked_cond).drop("disallows")
+        blocked = joined.where(blocked_cond).drop("disallows")
+        return allowed, blocked
+
+    def _generation(
+        self, frontier: DataFrame, g: int, crawled_gens: list[int],
+        frontier_size: int,
+    ) -> tuple[dict, DataFrame]:
+        cfg = self.config
+
+        eligible = self._dedup(frontier, crawled_gens)
+        allowed, blocked = self._robots_gate(eligible)
+        allowed = allowed.persist()
+        robots_blocked = blocked.count() if self._rules is not None else 0
+
+        selected, deferred = budget_split(
+            allowed, cfg.politeness_k, cfg.salt_buckets
+        )
+        if cfg.politeness_k is None:
+            selected = allowed  # budget_split returned frontier unchanged
+            eligible_count = selected_count = allowed.count()
+        else:
+            selected = selected.persist()
+            eligible_count = allowed.count()
+            selected_count = selected.count()
+
+        # O5: simulated fetch — inner join against the pages store.
+        # Frontier side is usually tiny vs a 100 TB pages table → broadcast.
+        join_left = (
+            F.broadcast(selected)
+            if selected_count <= cfg.broadcast_frontier_rows
+            else selected
+        )
+        fetched = join_left.join(
+            self.pages.withColumnRenamed("text", "stored_text"), "url", "inner"
+        )
+
+        # O10/O11: one Arrow-vectorized extraction pass
+        extracted = fetched.withColumn(
+            "ex", self._extract(F.col("html"), F.col("url"))
+        )
+        crawled_g = extracted.select(
+            "url",
+            "host",
+            "path",
+            F.lit(g).alias("gen_fetched"),
+            F.col("warc_ts").alias("fetched_on"),
+            # deterministic stamp (reference used wall clock,
+            # extractor.go:52; determinism is required for resume identity)
+            F.when(F.size("ex.text") > 0, F.col("warc_ts")).alias("parsed_on"),
+            F.col("ex.title").alias("title"),
+            F.col("ex.h1").alias("h1"),
+            F.col("ex.h2").alias("h2"),
+            F.col("ex.h3").alias("h3"),
+            F.col("ex.h4").alias("h4"),
+            F.col("ex.text").alias("text"),
+            F.col("ex.text_json").alias("text_json"),
+            F.col("ex.links_all").alias("links_all"),
+            F.col("ex.links_candidate").alias("links_candidate"),
+            F.col("ex.doc_id").alias("doc_id"),
+            "lang",
+        )
+        # O6/O12: commit the generation (also breaks lineage for the loop)
+        self.store.write_gen(crawled_g, "crawled", g)
+        crawled_g = self.store.read_gen("crawled", g)
+        counts = crawled_g.agg(
+            F.count(F.lit(1)).alias("fetched"),
+            F.count("parsed_on").alias("parsed"),
+        ).first()
+        fetched_count, parsed_count = counts["fetched"], counts["parsed"]
+
+        # O13: frontier expansion — posexplode preserves document order
+        candidates = crawled_g.select(
+            "path",
+            F.posexplode("links_candidate").alias("pos", "child"),
+        ).select(
+            F.col("child").alias("url"),
+            F.regexp_extract("child", HOST_REGEX, 1).alias("host"),
+            F.concat("path", F.array(F.col("pos").cast("bigint"))).alias("path"),
+        )
+        # enqueue-time dedup (O3): drop already-crawled, then first-wins
+        all_crawled = self.store.read_crawled(
+            crawled_gens + ([g] if fetched_count else [])
+        )
+        pool = deferred.unionByName(candidates)
+        if all_crawled is not None:
+            pool = pool.join(all_crawled.select("url"), "url", "left_anti")
+        w = Window.partitionBy("url").orderBy(*fifo_order())
+        next_frontier = (
+            pool.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .persist()
+        )
+        next_count = next_frontier.count()
+
+        allowed.unpersist()
+        if selected is not allowed:
+            selected.unpersist()
+
+        # incremental Bloom maintenance (union = bitwise OR)
+        self._crawled_count += fetched_count
+        if self._bloom_enabled() and fetched_count:
+            add = bloommod.build_from_df(
+                crawled_g, "url",
+                expected_n=max(self._crawled_count * 4, 1024),
+                fpp=cfg.bloom_fpp,
+            )
+            self._bloom = add if self._bloom is None else (
+                self._bloom.union(add)
+                if self._bloom.m_bits == add.m_bits
+                else bloommod.build_from_df(
+                    self.store.read_crawled(crawled_gens + [g]), "url",
+                    expected_n=max(self._crawled_count * 4, 1024),
+                    fpp=cfg.bloom_fpp,
+                )
+            )
+
+        m = {
+            "generation": g,
+            "frontier_size": frontier_size,
+            "eligible": eligible_count + robots_blocked,
+            "robots_blocked": robots_blocked,
+            "selected": selected_count,
+            "deferred": eligible_count - selected_count,
+            "fetched": fetched_count,
+            "failed": selected_count - fetched_count,
+            "parsed": parsed_count,
+            "next_frontier": next_count,
+        }
+        return m, next_frontier
+
+    def _summary(self, crawled_gens: list[int], metrics: list[dict]) -> dict:
+        return {
+            "generations": len(metrics),
+            "crawled": sum(m["fetched"] for m in metrics),
+            "failed": sum(m["failed"] for m in metrics),
+            "crawled_generations": crawled_gens,
+        }

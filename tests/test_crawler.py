@@ -1,0 +1,227 @@
+"""Crawl-equivalence tests: the Spark engine vs the pure-Python oracle
+simulator (FIXTURES.md §3.3), including politeness deferral, robots gating,
+fetch failure, the textless-page quirk, and resume-from-checkpoint identity.
+"""
+
+import pytest
+
+from owlfrontier.crawler import CrawlConfig, CrawlEngine
+from owlfrontier.fixtures import gen_site, pages_df, pages_map
+from owlfrontier.robots import disallow_map
+from owlfrontier.simulate import simulate_fifo, simulate_generations
+
+
+def _mini_pages(spark, pages: dict):
+    """url → html-str mapping → pages DataFrame with the mandated schema."""
+    import datetime as dt
+
+    rows = [
+        (u, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=i),
+         h.encode() if isinstance(h, str) else h, None, "en")
+        for i, (u, h) in enumerate(sorted(pages.items()))
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def _run(spark, tmp_path, pages, seeds, robots_rows=None, **cfg_kwargs):
+    kwargs = dict(salt_buckets=2, frontier_partitions=4, use_bloom=False)
+    kwargs.update(cfg_kwargs)
+    cfg = CrawlConfig(**kwargs)
+    robots = None
+    if robots_rows is not None:
+        robots = spark.createDataFrame(
+            robots_rows, "host string, robots_txt string"
+        )
+    engine = CrawlEngine(
+        spark,
+        _mini_pages(spark, pages) if isinstance(pages, dict) else pages,
+        str(tmp_path / "store"),
+        robots_df=robots,
+        config=cfg,
+    )
+    summary = engine.run(seeds=seeds)
+    return engine, summary
+
+
+def _order_rows(engine):
+    return [(r["seq"], r["generation"], r["url"])
+            for r in engine.crawl_order().collect()]
+
+
+def _check_equivalence(engine, golden):
+    assert _order_rows(engine) == golden.crawl_order
+    crawled = {r["url"]: r for r in engine.crawled().collect()}
+    assert set(crawled) == golden.url_seen
+    for url, text_json in golden.extracted.items():
+        assert crawled[url]["text_json"] == text_json, url
+    em = engine.metrics()
+    assert len(em) == len(golden.metrics)
+    for e, s in zip(em, golden.metrics):
+        for key in ("generation", "frontier_size", "eligible", "robots_blocked",
+                    "selected", "deferred", "fetched", "failed", "parsed",
+                    "next_frontier"):
+            assert e[key] == s[key], (key, e, s)
+
+
+# --- scenarios ------------------------------------------------------------
+
+
+def test_bfs_order_synthetic_site(spark, tmp_path):
+    rows, seeds = gen_site(n_pages=50, n_hosts=4, seed=7)
+    pages = pages_map(rows)
+    golden = simulate_generations(pages, seeds)
+    assert [u for _, _, u in golden.crawl_order] == simulate_fifo(pages, seeds)
+
+    engine, summary = _run(spark, tmp_path, pages_df(spark, rows), seeds)
+    _check_equivalence(engine, golden)
+    assert summary["crawled"] == len(golden.url_seen)
+
+
+def test_politeness_budget_k2(spark, tmp_path):
+    rows, seeds = gen_site(n_pages=24, n_hosts=3, seed=11)
+    pages = pages_map(rows)
+    golden = simulate_generations(pages, seeds, politeness_k=2,
+                                  max_generations=200)
+    engine, _ = _run(spark, tmp_path, pages_df(spark, rows), seeds,
+                     politeness_k=2, max_generations=200)
+    _check_equivalence(engine, golden)
+    # no generation fetches more than k per host
+    from owlfrontier.urlutil import host_of
+    per_gen_host = {}
+    for _, gen, url in golden.crawl_order:
+        key = (gen, host_of(url))
+        per_gen_host[key] = per_gen_host.get(key, 0) + 1
+    assert max(per_gen_host.values()) <= 2
+
+
+def test_diamond_dedup_first_wins(spark, tmp_path):
+    pages = {
+        "http://a.example/root": '<a href="/left">l</a><a href="/right">r</a>',
+        "http://a.example/left": '<a href="/child">c</a>',
+        "http://a.example/right": '<a href="/child">c</a>',
+        "http://a.example/child": "<p>leaf</p>",
+    }
+    seeds = ["http://a.example/root"]
+    golden = simulate_generations(pages, seeds)
+    engine, _ = _run(spark, tmp_path, pages, seeds)
+    _check_equivalence(engine, golden)
+    # child fetched exactly once, in generation 2, after left/right
+    urls = [u for _, _, u in _order_rows(engine)]
+    assert urls.count("http://a.example/child") == 1
+    assert urls == [
+        "http://a.example/root",
+        "http://a.example/left",
+        "http://a.example/right",
+        "http://a.example/child",
+    ]
+
+
+def test_missing_page_dropped_no_expansion(spark, tmp_path):
+    pages = {
+        "http://a.example/root": '<a href="/gone">g</a><a href="/ok">o</a>',
+        "http://a.example/ok": "<p>fine</p>",
+        # /gone is linked but not in the store → fetch failure
+    }
+    seeds = ["http://a.example/root", "http://missing.example/seed"]
+    golden = simulate_generations(pages, seeds)
+    engine, summary = _run(spark, tmp_path, pages, seeds)
+    _check_equivalence(engine, golden)
+    assert summary["failed"] == 2  # missing seed + /gone
+    assert "http://a.example/gone" not in golden.url_seen
+
+
+def test_textless_page_never_parsed(spark, tmp_path):
+    pages = {
+        "http://a.example/root": '<a href="/empty">e</a><p>text</p>',
+        "http://a.example/empty": "<script>var x;</script>",
+    }
+    seeds = ["http://a.example/root"]
+    golden = simulate_generations(pages, seeds)
+    engine, _ = _run(spark, tmp_path, pages, seeds)
+    _check_equivalence(engine, golden)
+    rows = {r["url"]: r for r in engine.crawled().collect()}
+    # crawled but never "parsed" (IsItParsed quirk, couchdb.go:283-288)
+    assert rows["http://a.example/empty"]["parsed_on"] is None
+    assert rows["http://a.example/empty"]["fetched_on"] is not None
+    assert golden.metrics[1]["fetched"] == 1 and golden.metrics[1]["parsed"] == 0
+
+
+def test_robots_gate(spark, tmp_path):
+    pages = {
+        "http://a.example/root": '<a href="/private/x">p</a><a href="/pub">q</a>',
+        "http://a.example/private/x": "<p>secret</p>",
+        "http://a.example/pub": "<p>open</p>",
+    }
+    seeds = ["http://a.example/root"]
+    robots_rows = [("a.example", "User-agent: *\nDisallow: /private")]
+    golden = simulate_generations(
+        pages, seeds, robots=disallow_map(robots_rows)
+    )
+    engine, _ = _run(spark, tmp_path, pages, seeds,
+                     robots_rows=robots_rows, robots_enabled=True)
+    _check_equivalence(engine, golden)
+    assert "http://a.example/private/x" not in golden.url_seen
+    assert "http://a.example/pub" in golden.url_seen
+    assert golden.metrics[1]["robots_blocked"] == 1
+
+    # disabled ⇒ identical to no-robots run (reference equivalence, §2.5)
+    golden_off = simulate_generations(pages, seeds)
+    assert "http://a.example/private/x" in golden_off.url_seen
+
+
+def test_duplicate_seeds_first_wins(spark, tmp_path):
+    pages = {"http://a.example/p": "<p>x</p>"}
+    seeds = ["http://a.example/p", "http://a.example/p"]
+    golden = simulate_generations(pages, seeds)
+    engine, _ = _run(spark, tmp_path, pages, seeds)
+    _check_equivalence(engine, golden)
+    assert len(golden.crawl_order) == 1
+
+
+def test_resume_identical_to_uninterrupted(spark, tmp_path):
+    rows, seeds = gen_site(n_pages=30, n_hosts=3, seed=23)
+    pdf = pages_df(spark, rows)
+    pages = pages_map(rows)
+
+    # uninterrupted run
+    full_engine, _ = _run(spark, tmp_path / "full", pdf, seeds, politeness_k=3,
+                          max_generations=100)
+    full_order = _order_rows(full_engine)
+
+    # interrupted after 2 generations, then resumed with a FRESH engine
+    cfg = dict(politeness_k=3, salt_buckets=2, frontier_partitions=4,
+               use_bloom=False)
+    part_engine = CrawlEngine(
+        spark, pdf, str(tmp_path / "part" / "store"),
+        config=CrawlConfig(max_generations=2, **cfg),
+    )
+    part_engine.run(seeds=seeds)
+    assert len(part_engine.metrics()) == 2
+
+    resumed = CrawlEngine(
+        spark, pdf, str(tmp_path / "part" / "store"),
+        config=CrawlConfig(max_generations=100, **cfg),
+    )
+    resumed.run(resume=True)
+
+    assert _order_rows(resumed) == full_order
+    golden = simulate_generations(pages, seeds, politeness_k=3,
+                                  max_generations=100)
+    _check_equivalence(resumed, golden)
+
+
+def test_bloom_prefilter_does_not_change_answers(spark, tmp_path):
+    rows, seeds = gen_site(n_pages=50, n_hosts=4, seed=7)
+    pages = pages_map(rows)
+    golden = simulate_generations(pages, seeds)
+    engine, _ = _run(spark, tmp_path, pages_df(spark, rows), seeds,
+                     use_bloom=True, bloom_auto_threshold=0)
+    _check_equivalence(engine, golden)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
