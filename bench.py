@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries plus a
+full crawl-engine run at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The crawl benchmark runs the real generation loop over a deterministic
+Zipf-skewed synthetic pages table (one hot host owning ~30% of URLs —
+SURVEY.md §5.2.6) cached under /tmp; ``urls_per_sec`` is reported alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+
+def _mk_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("owlfrontier-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+# headline queries: every registry entry (SURVEY.md §2 coverage) — each is
+# forced end-to-end with the noop sink (no column pruning shortcuts).
+def _run_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def _bench_pages_path(sf: float) -> str:
+    return f"/tmp/owlfrontier-bench-pages-sf{sf}"
+
+
+def crawl_pages_spec(sf: float) -> dict:
+    n_pages = max(500, int(200_000 * sf))
+    return {
+        "n_pages": n_pages,
+        "n_hosts": max(20, n_pages // 100),
+        "seed": 42,
+        "hot_host_frac": 0.3,
+    }
+
+
+def ensure_bench_pages(spark, sf: float) -> str:
+    path = _bench_pages_path(sf)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from owlfrontier.fixtures import gen_site, write_pages_parquet
+
+        spec = crawl_pages_spec(sf)
+        rows, seeds = gen_site(
+            n_pages=spec["n_pages"],
+            n_hosts=spec["n_hosts"],
+            seed=spec["seed"],
+            hot_host_frac=spec["hot_host_frac"],
+        )
+        write_pages_parquet(spark, rows, path, partitions=16)
+        with open(path + ".seeds.json", "w") as f:
+            json.dump(seeds, f)
+    return path
+
+
+def bench_crawl(spark, sf: float, max_generations: int = 6) -> dict:
+    from owlfrontier.crawler import CrawlConfig, CrawlEngine
+
+    path = ensure_bench_pages(spark, sf)
+    seeds = json.load(open(path + ".seeds.json"))
+    pages = spark.read.parquet(path)
+    store = tempfile.mkdtemp(prefix="owlfrontier-bench-store-")
+    engine = CrawlEngine(
+        spark,
+        pages,
+        store,
+        config=CrawlConfig(
+            politeness_k=None,
+            max_generations=max_generations,
+            salt_buckets=8,
+            frontier_partitions=32,
+            use_bloom="auto",
+        ),
+    )
+    t0 = time.time()
+    summary = engine.run(seeds=seeds)
+    secs = time.time() - t0
+    return {
+        "crawl_sec": secs,
+        "crawled": summary["crawled"],
+        "generations": summary["generations"],
+        "urls_per_sec": round(summary["crawled"] / secs, 2) if secs else 0.0,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from owlfrontier.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        timings[name] = round(_run_query(spark, fn, sf_dir), 3)
+
+    crawl = bench_crawl(spark, sf)
+    timings["crawl_loop"] = round(crawl["crawl_sec"], 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "owlfrontier headline queries + crawl loop wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "crawl": crawl,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.stderr.write("bench: starting\n")
+    main()

@@ -1,0 +1,122 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness comparison:
+row count, sorted column names, and an order-insensitive value hash over
+column-name-sorted rows. Used by tests and by `python -m
+owlfrontier.oracle_check [sf_dir]` during development.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return repr(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(_norm(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def duck_run(sql: str, sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    res = con.sql(sql)
+    cols = list(res.columns)
+    rows = res.fetchall()
+    con.close()
+    return cols, rows
+
+
+def spark_run(fn, spark, sf_dir: str):
+    df = fn(spark, sf_dir)
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.collect()]
+    return cols, rows
+
+
+def compare(name: str, spark, sf_dir: str) -> dict:
+    from owlfrontier.queries import ORACLE, QUERIES
+
+    s_cols, s_rows = spark_run(QUERIES[name], spark, sf_dir)
+    d_cols, d_rows = duck_run(ORACLE[name], sf_dir)
+    result = {
+        "name": name,
+        "spark_rows": len(s_rows),
+        "duck_rows": len(d_rows),
+        "cols_match": sorted(s_cols) == sorted(d_cols),
+        "rows_match": len(s_rows) == len(d_rows),
+        "hash_match": value_hash(s_cols, s_rows) == value_hash(d_cols, d_rows),
+    }
+    result["ok"] = (
+        result["cols_match"] and result["rows_match"] and result["hash_match"]
+    )
+    return result
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", names: list[str] | None = None):
+    from pyspark.sql import SparkSession
+
+    from owlfrontier.queries import QUERIES
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name in names or QUERIES:
+        try:
+            r = compare(name, spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:24s} ERROR {type(e).__name__}: {str(e)[:160]}")
+            failures += 1
+            continue
+        flag = "OK " if r["ok"] else "FAIL"
+        print(
+            f"{name:24s} {flag} rows={r['spark_rows']}/{r['duck_rows']} "
+            f"cols={r['cols_match']} hash={r['hash_match']}"
+        )
+        failures += 0 if r["ok"] else 1
+    print("failures:", failures)
+    return failures
+
+
+if __name__ == "__main__":
+    import sys
+
+    _sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    _names = sys.argv[2:] or None
+    sys.exit(1 if main(_sf, _names) else 0)

@@ -1,0 +1,646 @@
+"""Driver-contract query registry: every SQL-expressible operator from
+SURVEY.md §2 (and the training-data pipeline ops) as a (PySpark query,
+DuckDB oracle SQL) pair over the driver's parquet tables
+(``/root/testdata/sf*/`` — FIXTURES.md §4: ``documents`` stands in for
+pages, ``events`` for the frontier, ``embeddings`` for the ANN surface).
+
+Portability rules used throughout so Spark and DuckDB hash-match:
+
+* 60-bit portable hash: Spark ``conv(substr(md5(x),1,15),16,10)::bigint``
+  == DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT`` (verified equal).
+* float aggregates are either avoided (ranks instead of scores), rounded
+  after integer-exact arithmetic, or quantized to integers before summing
+  (sums of doubles are NOT order-stable across engines).
+* every computed column is aliased identically on both sides (the driver
+  sorts columns by name and value-hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Spark-side portable 60-bit hash of a string column expression (SQL text)
+def _h60(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}),1,15),16,10) as bigint)"
+
+
+# DuckDB-side equivalent
+def _h60_duck(expr: str) -> str:
+    return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+
+STOPWORDS = ["the", "of", "and", "a", "to", "in", "is", "it", "on", "for"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Crawl-shaped operators (SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+
+def q_word_index(spark, sf_dir):
+    """O14 — the CouchDB search view (couchdb.go:87-96): split text lines on
+    ' ', keep words longer than 2 chars, build the inverted-index counts."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_WORD_INDEX = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+WHERE length(word) > 2
+GROUP BY word
+"""
+
+
+def q_index_stats(spark, sf_dir):
+    """O15 — the stats map/reduce view (couchdb.go:97-109,291-311):
+    conditional counts over one table, one output row."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("user_id").alias("users"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+SQL_INDEX_STATS = """
+SELECT count(*) AS total,
+       count(DISTINCT user_id) AS users,
+       count(*) FILTER (event_type = 'click') AS clicks,
+       count(*) FILTER (event_type = 'error') AS errors,
+       count(*) FILTER (event_type = 'purchase') AS purchases,
+       round(sum(value), 2) AS total_value
+FROM events
+"""
+
+
+def q_dedup_antijoin(spark, sf_dir):
+    """O3 — the URL-seen gate as a left_anti join (couchdb.go:254-280):
+    'clicks' whose user never appears in the 'signup' seen-set."""
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click")
+    seen = (
+        e.where((F.col("event_type") == "signup") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        clicks.join(seen, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_DEDUP_ANTIJOIN = """
+SELECT user_id, count(*) AS cnt
+FROM events e
+WHERE event_type = 'click'
+  AND NOT EXISTS (SELECT 1 FROM events s
+                  WHERE s.event_type = 'signup' AND s.value > 150
+                    AND s.user_id = e.user_id)
+GROUP BY user_id
+"""
+
+
+def q_politeness_topk(spark, sf_dir):
+    """O4 — per-host politeness budget: first k=2 rows per key in FIFO
+    order via row_number (fetcher.go:97-99 generalized, SURVEY.md O4)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 2)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+SQL_POLITENESS_TOPK = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+QUALIFY rn <= 2
+"""
+
+
+def q_frontier_expansion(spark, sf_dir):
+    """O13 — frontier expansion: posexplode preserving document order
+    (extractor.go:57-59 → one explode, SURVEY.md O13). 1-based pos to
+    match SQL ordinality."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select("doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"), "word")
+    )
+
+
+SQL_FRONTIER_EXPANSION = """
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1)::BIGINT AS pos,
+       unnest(string_split(text, ' ')) AS word
+FROM documents
+"""
+
+
+def q_crawl_order_topk(spark, sf_dir):
+    """Sort/limit — global priority-queue head (frontier ORDER BY priority,
+    SURVEY.md §2.2 sort/top-k row). Deterministic tiebreak on event_id."""
+    return (
+        _events(spark, sf_dir)
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .select("event_id", "value")
+        .limit(100)
+    )
+
+
+SQL_CRAWL_ORDER_TOPK = """
+SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100
+"""
+
+
+def q_first_wins_dedup(spark, sf_dir):
+    """Set ops — dropDuplicates with FIRST-wins order (SURVEY.md §2.2):
+    row_number()==1, not dropDuplicates (which keeps an arbitrary row)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+SQL_FIRST_WINS_DEDUP = """
+SELECT user_id, event_id, ts FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep the lowest id."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("dupes"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS dupes
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_neardup_jaccard(spark, sf_dir):
+    """N-gram-free Jaccard near-dup: word-set Jaccard between adjacent doc
+    ids (integer-exact set sizes, so the double division is bit-identical)."""
+    w = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    )
+    a = w.select(F.col("doc_id").alias("a_id"), F.col("ws").alias("aw"))
+    b = w.select(F.col("doc_id").alias("b_id"), F.col("ws").alias("bw"))
+    joined = a.join(b, F.col("b_id") == F.col("a_id") + 1)
+    inter = F.size(F.array_intersect("aw", "bw"))
+    union = F.size("aw") + F.size("bw") - inter
+    return joined.select(
+        "a_id",
+        "b_id",
+        F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+    )
+
+
+SQL_NEARDUP_JACCARD = """
+WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+           FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(len(list_intersect(a.ws, b.ws))::DOUBLE
+             / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))::DOUBLE,
+             6) AS jaccard
+FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+"""
+
+
+_N_PERMS = 8
+
+
+def _shingles_expr() -> str:
+    # 3-word shingles, distinct, guarded for short docs (Spark sequence()
+    # DESCENDS when stop < start, so the guard is mandatory)
+    return (
+        "CASE WHEN size(w) >= 3 THEN array_distinct(transform("
+        "  sequence(1, size(w) - 2),"
+        "  i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))"
+        ")) ELSE array() END"
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash over 3-word shingles with 8 portable md5-derived permutations
+    — the signature stage of MinHash+LSH dedup."""
+    w = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    sh = w.select(
+        "doc_id", F.explode(F.expr(_shingles_expr())).alias("s")
+    )
+    perms = spark.range(_N_PERMS).select(F.col("id").alias("p"))
+    mh = F.expr(_h60("concat(cast(p as string), '#', s)"))
+    return (
+        sh.crossJoin(perms)
+        .groupBy("doc_id", "p")
+        .agg(F.min(mh).alias("minhash"))
+    )
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(w) >= 3 THEN
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2)]
+         ELSE [] END)) AS s
+       FROM w),
+perms AS (SELECT unnest(generate_series(0, {_N_PERMS - 1})) AS p)
+SELECT doc_id, p, min({_h60_duck("p::VARCHAR || '#' || s")}) AS minhash
+FROM sh CROSS JOIN perms
+GROUP BY doc_id, p
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash LSH banding: 4 bands × 2 rows; candidate near-dup pairs =
+    docs sharing any band key (shingle→minhash→band→bucket-join)."""
+    sig = q_minhash_signatures(spark, sf_dir).withColumn(
+        "band", (F.col("p") / 2).cast("int")
+    )
+    bands = sig.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "minhash"))),
+                lambda x: x["minhash"].cast("string"),
+            ),
+            ",",
+        ).alias("band_key")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), "band", F.col("band_key").alias("k1")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), "band", F.col("band_key").alias("k2")
+    )
+    return (
+        a.join(b, ["band"])
+        .where((F.col("k1") == F.col("k2")) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(w) >= 3 THEN
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2)]
+         ELSE [] END)) AS s
+       FROM w),
+perms AS (SELECT unnest(generate_series(0, {_N_PERMS - 1})) AS p),
+sig AS (SELECT doc_id, p, (p // 2)::INT AS band,
+               min({_h60_duck("p::VARCHAR || '#' || s")}) AS minhash
+        FROM sh CROSS JOIN perms GROUP BY doc_id, p),
+bands AS (SELECT doc_id, band,
+                 string_agg(minhash::VARCHAR, ',' ORDER BY p) AS band_key
+          FROM sig GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+_SIMHASH_BITS = 32
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash (32-bit) over distinct words: per-bit ±1 votes from the
+    portable word hash, integer-exact so both engines agree bit-for-bit."""
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    h = F.expr(_h60("word"))
+    vote = (
+        F.when(F.expr(f"(shiftright({_h60('word')}, bit) & 1) = 1"), F.lit(1))
+        .otherwise(F.lit(-1))
+    )
+    per_bit = (
+        words.crossJoin(bits)
+        .select("doc_id", "bit", vote.alias("v"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+SQL_SIMHASH = f"""
+WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+               FROM documents),
+bits AS (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1}))::INT AS bit),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (({_h60_duck("word")} >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM words CROSS JOIN bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+def q_ann_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN baseline): 5 query vectors × all
+    candidates; output integer ranks only (float scores are not
+    hash-portable across engines)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    qn = "sqrt(aggregate(transform(qv, x -> x * x), 0D, (a, x) -> a + x))"
+    nn = "sqrt(aggregate(transform(nv, x -> x * x), 0D, (a, x) -> a + x))"
+    scored = q.crossJoin(c).select(
+        "query_id", "neighbor_id", F.expr(f"({dot}) / ({qn} * {nn})").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+SQL_ANN_BRUTEFORCE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(qv, e.v) AS cos
+      FROM q CROSS JOIN e)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
+FROM s QUALIFY rnk <= 10
+"""
+
+
+_LSH_PLANES = 16
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (the ANN scale path): 16 pseudo-
+    hyperplanes from the portable hash; embeddings quantized to integers
+    before summation so the sign is order-independent and engine-exact."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    )
+    planes = spark.range(_LSH_PLANES).select(F.col("id").cast("int").alias("b"))
+    plane_key = "concat(cast(b as string), ',', cast(d as string))"
+    sgn = F.when(
+        F.expr(f"pmod({_h60(plane_key)}, 2) = 0"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    xi = F.round(F.col("x").cast("double") * 1e6).cast("bigint")
+    proj = (
+        e.crossJoin(planes)
+        .select("vec_id", "b", (xi * sgn).alias("term"))
+        .groupBy("vec_id", "b")
+        .agg(F.sum("term").alias("proj"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
+            .otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+
+
+SQL_ANN_LSH_BUCKETS = f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                  unnest(embedding) AS x
+           FROM embeddings),
+planes AS (SELECT unnest(generate_series(0, {_LSH_PLANES - 1}))::INT AS b),
+proj AS (
+  SELECT vec_id, b,
+         sum(round(x::DOUBLE * 1e6)::BIGINT *
+             (CASE WHEN {_h60_duck("b::VARCHAR || ',' || d::VARCHAR")} % 2 = 0
+                   THEN 1 ELSE -1 END)) AS proj
+  FROM e CROSS JOIN planes GROUP BY vec_id, b)
+SELECT vec_id,
+       sum(CASE WHEN proj > 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+FROM proj GROUP BY vec_id
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token counts, punctuation and stopword ratios —
+    integer-exact numerators/denominators, division at the end."""
+    stop_arr = ",".join(f"'{w}'" for w in STOPWORDS)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.length("text").alias("n_chars_measured"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).alias("n_punct"),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.col("n_chars_measured").cast("bigint").alias("n_chars_measured"),
+        F.expr(
+            f"size(filter(ws, w -> array_contains(array({stop_arr}), w)))"
+        ).cast("bigint").alias("n_stop"),
+        F.col("n_punct").cast("bigint").alias("n_punct"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_measured").cast("double")
+    return d.select(
+        "doc_id", "n_tokens", "n_chars_measured", "n_stop", "n_punct",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(0.5 * stop_ratio + 0.5 * (1 - punct_ratio), 6).alias("quality_score"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars_measured,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains([{",".join(repr(w) for w in STOPWORDS)}], w)))::BIGINT AS n_stop,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::BIGINT AS n_punct
+  FROM documents)
+SELECT doc_id, n_tokens, n_chars_measured, n_stop, n_punct,
+       round(n_stop::DOUBLE / n_tokens::DOUBLE, 6) AS stopword_ratio,
+       round(n_punct::DOUBLE / n_chars_measured::DOUBLE, 6) AS punct_ratio,
+       round(0.5 * (n_stop::DOUBLE / n_tokens::DOUBLE)
+             + 0.5 * (1 - n_punct::DOUBLE / n_chars_measured::DOUBLE), 6) AS quality_score
+FROM d
+"""
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (marker-word presence) scored against the
+    labeled ``lang`` column — confusion-matrix counts."""
+    cases = " ".join(
+        f"WHEN size(filter(ws, w -> array_contains(array("
+        + ",".join(f"'{m}'" for m in ms)
+        + f"), w))) > 0 THEN '{lang}'"
+        for lang, ms in _LANG_MARKERS.items()
+    )
+    d = _docs(spark, sf_dir).select(
+        "lang", F.split("text", " ").alias("ws")
+    ).withColumn("predicted", F.expr(f"CASE {cases} ELSE 'unknown' END"))
+    return d.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _sql_lang_cases() -> str:
+    return " ".join(
+        "WHEN len(list_filter(string_split(text, ' '), w -> list_contains(["
+        + ",".join(repr(m) for m in ms)
+        + f"], w))) > 0 THEN '{lang}'"
+        for lang, ms in _LANG_MARKERS.items()
+    )
+
+
+SQL_LANG_ID = f"""
+SELECT lang,
+       CASE {_sql_lang_cases()} ELSE 'unknown' END AS predicted,
+       count(*) AS cnt
+FROM documents GROUP BY 1, 2
+"""
+
+_BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_REGEX), 0))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_REGEX}'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: rolling polynomial hash over the word
+    stream (integer-exact, order-sensitive — a true fingerprint)."""
+    word_h = f"pmod({_h60('w')}, 1000003)"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform(split(text, ' '), w -> {word_h}), "
+            "cast(0 as bigint), (a, x) -> pmod(a * 31 + x, 1000000007))"
+        ).alias("fingerprint"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [{_h60_duck("w")} % 1000003 for w in string_split(text, ' ')]),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "word_index": q_word_index,
+    "index_stats": q_index_stats,
+    "dedup_antijoin": q_dedup_antijoin,
+    "politeness_topk": q_politeness_topk,
+    "frontier_expansion": q_frontier_expansion,
+    "crawl_order_topk": q_crawl_order_topk,
+    "first_wins_dedup": q_first_wins_dedup,
+    "exact_dedup": q_exact_dedup,
+    "neardup_jaccard": q_neardup_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLE = {
+    "word_index": SQL_WORD_INDEX,
+    "index_stats": SQL_INDEX_STATS,
+    "dedup_antijoin": SQL_DEDUP_ANTIJOIN,
+    "politeness_topk": SQL_POLITENESS_TOPK,
+    "frontier_expansion": SQL_FRONTIER_EXPANSION,
+    "crawl_order_topk": SQL_CRAWL_ORDER_TOPK,
+    "first_wins_dedup": SQL_FIRST_WINS_DEDUP,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "neardup_jaccard": SQL_NEARDUP_JACCARD,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
+    "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+}

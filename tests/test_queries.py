@@ -1,0 +1,31 @@
+"""Driver-contract tests: every queries() entry hash-matches its DuckDB
+oracle at sf0.001 (the driver's own gate runs sf0.01), and entry() returns
+rows with a stable schema."""
+
+import pytest
+
+from owlfrontier.oracle_check import compare
+from owlfrontier.queries import ORACLE, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_registry_complete():
+    assert set(QUERIES) == set(ORACLE)
+    assert len(QUERIES) >= 18
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    r = compare(name, spark, SF_DIR)
+    assert r["ok"], r
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["seq", "generation", "url", "doc_id", "text_json"]
+    assert rows[0]["text_json"].startswith('{"title":"Doc 0"')
