@@ -92,6 +92,7 @@ def bench_crawl(spark, sf: float, max_generations: int = 6) -> dict:
             salt_buckets=8,
             frontier_partitions=32,
             use_bloom="auto",
+            light_metrics=True,
         ),
     )
     t0 = time.time()

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north_rule criterion (≥0.8 throughput
+scaling efficiency N → 4N executors), per the sandbox protocol in
+BASELINE.md: the identical crawl job on the identical synthetic input at
+``local[8]`` and ``local[32]``; efficiency = (URLs/s @32) / (URLs/s @8) / 4.
+
+Each parallelism level runs in its own OS process (one JVM per master
+setting). Results are appended to BENCH/BASELINE.md.
+
+Usage: python bench_scaling.py [n_pages] — default sized so the run is
+compute-bound (extraction + shuffles dominate fixed job overhead).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+CHILD = """
+import json, sys, tempfile, time
+cpus = int(sys.argv[1]); pages_path = sys.argv[2]; seeds_path = sys.argv[3]
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+    .appName(f"owlfrontier-scaling-{cpus}")
+    .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "16g")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from owlfrontier.crawler import CrawlConfig, CrawlEngine
+pages = spark.read.parquet(pages_path)
+seeds = json.load(open(seeds_path))
+store = tempfile.mkdtemp(prefix=f"owlfrontier-scale-{cpus}-")
+engine = CrawlEngine(spark, pages, store,
+    config=CrawlConfig(politeness_k=None, max_generations=8,
+                       salt_buckets=8, frontier_partitions=max(cpus * 2, 16),
+                       use_bloom="auto", light_metrics=True,
+                       broadcast_frontier_rows=1_000_000))
+t0 = time.time()
+summary = engine.run(seeds=seeds)
+secs = time.time() - t0
+print(json.dumps({"cpus": cpus, "sec": secs, "crawled": summary["crawled"],
+                  "generations": summary["generations"],
+                  "urls_per_sec": summary["crawled"] / secs}))
+spark.stop()
+"""
+
+
+def prepare_input(n_pages: int) -> tuple[str, str]:
+    from pyspark.sql import SparkSession
+
+    from owlfrontier.synthweb import synth_pages, synth_seeds
+
+    path = f"/tmp/owlfrontier-scaling-pages-{n_pages}"
+    seeds_path = path + ".seeds.json"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        synth_pages(
+            spark, n_pages, n_hosts=500, hot_pct=30, fanout=8, paragraphs=60,
+            partitions=64,
+        ).write.mode("overwrite").parquet(path)
+        with open(seeds_path, "w") as f:
+            json.dump(synth_seeds(4, n_pages), f)
+        spark.stop()
+    return path, seeds_path
+
+
+def run_level(cpus: int, pages_path: str, seeds_path: str) -> dict:
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cpus), pages_path, seeds_path],
+        capture_output=True, text=True, env=env, cwd=os.path.dirname(__file__),
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    pages_path, seeds_path = prepare_input(n_pages)
+    r8 = run_level(8, pages_path, seeds_path)
+    r32 = run_level(32, pages_path, seeds_path)
+    eff = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0
+    result = {
+        "protocol": "identical crawl job + input at local[8] vs local[32]",
+        "n_pages": n_pages,
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency": round(eff, 3),
+        "criterion": ">= 0.8",
+        "pass": eff >= 0.8,
+        "timestamp": dt.datetime.utcnow().isoformat() + "Z",
+    }
+    print(json.dumps(result, indent=2))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_results.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()

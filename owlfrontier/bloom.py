@@ -90,7 +90,10 @@ def build_from_df(df, url_col: str, expected_n: int, fpp: float = 0.01) -> Bloom
     from pyspark.sql import functions as F
 
     m_bits, k = geometry(expected_n, fpp)
-    hashed = df.select(F.xxhash64(F.col(url_col)).alias("h"))
+    # cap fold parallelism: every partition emits a full m-bit bitmap, so
+    # the driver-side OR collects (partitions × m/8) bytes — coalesce keeps
+    # that bounded while the cheap hash scan stays parallel upstream
+    hashed = df.select(F.xxhash64(F.col(url_col)).alias("h")).coalesce(16)
 
     def fold(batches):
         bitmap = np.zeros(m_bits // 64, dtype=np.uint64)

@@ -31,6 +31,8 @@ accumulates across iterations and any generation can resume from disk.
 
 from __future__ import annotations
 
+import time
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -54,7 +56,11 @@ class CrawlConfig:
     use_bloom: bool | str = "auto"  # auto: on once crawled set is large
     bloom_auto_threshold: int = 50_000
     bloom_fpp: float = 0.01
+    bloom_capacity: int = 2_000_000  # fixed geometry → incremental unions
+    # (capacity overrun only raises the FP rate — the exact anti-join still
+    #  decides; at 10^10 keys use the sharded-filter deploy config, §4.3.1)
     broadcast_frontier_rows: int = 100_000
+    light_metrics: bool = False  # skip informational counts (bench mode)
 
 
 _FRONTIER_SCHEMA = "url string, host string, path array<bigint>"
@@ -113,18 +119,13 @@ class CrawlEngine:
 
         frontier_size = frontier.count()
         while g < cfg.max_generations:
-            m, next_frontier = self._generation(
-                frontier, g, crawled_gens, frontier_size
-            )
+            t_gen = time.time()
+            m = self._generation(frontier, g, crawled_gens, frontier_size)
+            m["wall_sec"] = round(time.time() - t_gen, 2)
             metrics.append(m)
             if m["fetched"] > 0:
                 crawled_gens.append(g)
             empty = m["next_frontier"] == 0
-            if not empty:
-                self.store.write_gen(
-                    self._partition_frontier(next_frontier), "frontier", g + 1
-                )
-            next_frontier.unpersist()
             self.store.commit(g, metrics, empty, crawled_gens)
             if empty:
                 break
@@ -202,7 +203,7 @@ class CrawlEngine:
         if self._bloom_enabled():
             self._bloom = bloommod.build_from_df(
                 crawled, "url",
-                expected_n=max(self._crawled_count * 4, 1024),
+                expected_n=self.config.bloom_capacity,
                 fpp=self.config.bloom_fpp,
             )
 
@@ -244,12 +245,20 @@ class CrawlEngine:
     def _generation(
         self, frontier: DataFrame, g: int, crawled_gens: list[int],
         frontier_size: int,
-    ) -> tuple[dict, DataFrame]:
+    ) -> dict:
         cfg = self.config
+        # light mode + unbounded budget + no robots: the whole generation is
+        # one unbranched pipeline — no persist, no informational count jobs
+        streamlined = (
+            cfg.light_metrics
+            and cfg.politeness_k is None
+            and self._rules is None
+        )
 
         eligible = self._dedup(frontier, crawled_gens)
         allowed, blocked = self._robots_gate(eligible)
-        allowed = allowed.persist()
+        if not streamlined:
+            allowed = allowed.persist()
         robots_blocked = blocked.count() if self._rules is not None else 0
 
         selected, deferred = budget_split(
@@ -257,17 +266,23 @@ class CrawlEngine:
         )
         if cfg.politeness_k is None:
             selected = allowed  # budget_split returned frontier unchanged
-            eligible_count = selected_count = allowed.count()
+            if streamlined:
+                eligible_count = selected_count = None
+            else:
+                eligible_count = selected_count = allowed.count()
         else:
             selected = selected.persist()
             eligible_count = allowed.count()
             selected_count = selected.count()
 
         # O5: simulated fetch — inner join against the pages store.
-        # Frontier side is usually tiny vs a 100 TB pages table → broadcast.
+        # Frontier side is usually tiny vs a 100 TB pages table → broadcast
+        # it (selected ⊆ frontier, so frontier_size is a safe upper bound
+        # when the selected count was skipped in light mode).
+        known = selected_count if selected_count is not None else frontier_size
         join_left = (
             F.broadcast(selected)
-            if selected_count <= cfg.broadcast_frontier_rows
+            if known <= cfg.broadcast_frontier_rows
             else selected
         )
         fetched = join_left.join(
@@ -300,13 +315,21 @@ class CrawlEngine:
             "lang",
         )
         # O6/O12: commit the generation (also breaks lineage for the loop)
+        import os as _os
+        if _os.environ.get("OWLFRONTIER_EXPLAIN"):
+            print(f"==== EXPLAIN crawled_g gen {g} ====")
+            crawled_g.explain("formatted")
+        t = time.time()
         self.store.write_gen(crawled_g, "crawled", g)
+        timings = {"crawled_write": round(time.time() - t, 2)}
         crawled_g = self.store.read_gen("crawled", g)
+        t = time.time()
         counts = crawled_g.agg(
             F.count(F.lit(1)).alias("fetched"),
             F.count("parsed_on").alias("parsed"),
         ).first()
         fetched_count, parsed_count = counts["fetched"], counts["parsed"]
+        timings["agg"] = round(time.time() - t, 2)
 
         # O13: frontier expansion — posexplode preserves document order
         candidates = crawled_g.select(
@@ -329,50 +352,71 @@ class CrawlEngine:
             pool.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
-            .persist()
         )
-        next_count = next_frontier.count()
+        # write-then-count: the count comes from parquet footers, so the
+        # frontier is computed exactly once (no persist, no second pass)
+        t = time.time()
+        self.store.write_gen(
+            self._partition_frontier(next_frontier), "frontier", g + 1
+        )
+        timings["frontier_write"] = round(time.time() - t, 2)
+        t = time.time()
+        next_count = self.store.read_gen("frontier", g + 1).count()
+        timings["frontier_count"] = round(time.time() - t, 2)
 
-        allowed.unpersist()
-        if selected is not allowed:
-            selected.unpersist()
+        if not streamlined:
+            allowed.unpersist()
+            if selected is not allowed:
+                selected.unpersist()
 
-        # incremental Bloom maintenance (union = bitwise OR)
+        # incremental Bloom maintenance: fixed geometry (sized for
+        # bloom_capacity keys) makes every per-generation filter
+        # union-compatible — Bloom union is bitwise OR (SURVEY.md §4.3.1)
+        t = time.time()
         self._crawled_count += fetched_count
         if self._bloom_enabled() and fetched_count:
-            add = bloommod.build_from_df(
-                crawled_g, "url",
-                expected_n=max(self._crawled_count * 4, 1024),
-                fpp=cfg.bloom_fpp,
-            )
-            self._bloom = add if self._bloom is None else (
-                self._bloom.union(add)
-                if self._bloom.m_bits == add.m_bits
-                else bloommod.build_from_df(
+            if self._bloom is None and crawled_gens:
+                # first activation mid-crawl: fold in everything crawled so far
+                add = bloommod.build_from_df(
                     self.store.read_crawled(crawled_gens + [g]), "url",
-                    expected_n=max(self._crawled_count * 4, 1024),
-                    fpp=cfg.bloom_fpp,
+                    expected_n=cfg.bloom_capacity, fpp=cfg.bloom_fpp,
                 )
-            )
+            else:
+                add = bloommod.build_from_df(
+                    crawled_g, "url",
+                    expected_n=cfg.bloom_capacity, fpp=cfg.bloom_fpp,
+                )
+            self._bloom = add if self._bloom is None else self._bloom.union(add)
 
+        timings["bloom"] = round(time.time() - t, 2)
         m = {
             "generation": g,
+            "timings": timings,
             "frontier_size": frontier_size,
-            "eligible": eligible_count + robots_blocked,
+            "eligible": (
+                eligible_count + robots_blocked
+                if eligible_count is not None else None
+            ),
             "robots_blocked": robots_blocked,
             "selected": selected_count,
-            "deferred": eligible_count - selected_count,
+            "deferred": (
+                eligible_count - selected_count
+                if eligible_count is not None else None
+            ),
             "fetched": fetched_count,
-            "failed": selected_count - fetched_count,
+            "failed": (
+                selected_count - fetched_count
+                if selected_count is not None else None
+            ),
             "parsed": parsed_count,
             "next_frontier": next_count,
         }
-        return m, next_frontier
+        return m
 
     def _summary(self, crawled_gens: list[int], metrics: list[dict]) -> dict:
         return {
             "generations": len(metrics),
             "crawled": sum(m["fetched"] for m in metrics),
-            "failed": sum(m["failed"] for m in metrics),
+            "failed": sum(m["failed"] or 0 for m in metrics),
             "crawled_generations": crawled_gens,
         }

@@ -1,0 +1,136 @@
+"""Structured Streaming surface: continuous seed ingestion (operator O1).
+
+The reference's seed path is an HTTP handler that stores a site doc and
+publishes the URL to the ``fetch_url`` NATS subject
+(``/root/reference/webapp/main.go:157-196``, publish at ``:183``). The crawl
+loop itself is deliberately batch-iterative (SURVEY.md §7 rejects
+Structured Streaming for the generation loop: the barrier and replayable
+ordering are batch-shaped); what IS naturally a stream is the arrival of
+new seed submissions while the crawler runs.
+
+This module ingests seed-submission files (one JSON object per line:
+``{"url": ..., "submitted_at": ...}``) as a stream and
+
+* appends first-seen submissions to a ``seeds`` parquet table
+  (idempotent per micro-batch via first-wins dedup against the table —
+  the streaming analogue of the CouchDB 409 gate, couchdb.go:164-166),
+* maintains a per-window submission-rate aggregate with a watermark for
+  late arrivals (windowed counts by host).
+
+Checkpointing is Spark's own streaming checkpoint — resume semantics come
+for free from the source/sink contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from owlfrontier.urlutil import HOST_REGEX
+
+SEED_SCHEMA = "url string, submitted_at timestamp"
+
+
+class SeedIngest:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.inbox = os.path.join(root, "inbox")
+        self.table = os.path.join(root, "seeds")
+        self.rates = os.path.join(root, "rates")
+        self.checkpoint = os.path.join(root, "checkpoint")
+        os.makedirs(self.inbox, exist_ok=True)
+
+    # -- write path ---------------------------------------------------------
+
+    def _append_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink: first-wins dedup within the batch AND against
+        the existing table, then append (the O1/O3 enqueue gate)."""
+        from pyspark.sql import Window
+
+        spark = batch.sparkSession
+        w = Window.partitionBy("url").orderBy("submitted_at")
+        fresh = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            existing = spark.read.parquet(self.table).select("url")
+            fresh = fresh.join(existing, "url", "left_anti")
+        except Exception:  # noqa: BLE001 — first batch: table doesn't exist
+            pass
+        (
+            fresh.withColumn("host", F.regexp_extract("url", HOST_REGEX, 1))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(self.table)
+        )
+
+    def start(self, available_now: bool = True):
+        """Start the ingest stream. ``available_now=True`` drains what's in
+        the inbox and stops (test/batch-catchup mode); False runs
+        continuously."""
+        stream = (
+            self.spark.readStream.schema(SEED_SCHEMA)
+            .json(self.inbox)
+            .withWatermark("submitted_at", "10 minutes")
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self._append_batch)
+            .option("checkpointLocation", os.path.join(self.checkpoint, "seeds"))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q1 = writer.start()
+
+        # windowed submission rate by host (watermarked event-time agg)
+        rates = (
+            self.spark.readStream.schema(SEED_SCHEMA)
+            .json(self.inbox)
+            .withWatermark("submitted_at", "10 minutes")
+            .withColumn("host", F.regexp_extract("url", HOST_REGEX, 1))
+            .groupBy(F.window("submitted_at", "1 minute"), F.col("host"))
+            .agg(F.count(F.lit(1)).alias("submissions"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "host",
+                "submissions",
+            )
+        )
+        w2 = (
+            rates.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", self.rates)
+            .option("checkpointLocation", os.path.join(self.checkpoint, "rates"))
+        )
+        if available_now:
+            w2 = w2.trigger(availableNow=True)
+        q2 = w2.start()
+        return [q1, q2]
+
+    def drain(self) -> None:
+        """Run both streams to inbox exhaustion (availableNow) and await."""
+        for q in self.start(available_now=True):
+            q.awaitTermination()
+
+    # -- read path ----------------------------------------------------------
+
+    def seeds(self) -> DataFrame:
+        return self.spark.read.parquet(self.table)
+
+    def submission_rates(self) -> DataFrame:
+        return self.spark.read.parquet(self.rates)
+
+    def seed_list(self) -> list[str]:
+        """Seeds in submission order — generation-0 input for CrawlEngine."""
+        rows = (
+            self.seeds()
+            .orderBy("submitted_at", "url")
+            .select("url")
+            .collect()
+        )
+        return [r["url"] for r in rows]
