@@ -60,16 +60,17 @@ def crawl_pages_spec(sf: float) -> dict:
 def ensure_bench_pages(spark, sf: float) -> str:
     path = _bench_pages_path(sf)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from owlfrontier.fixtures import gen_site, write_pages_parquet
+        from owlfrontier.synthweb import synth_pages, synth_seeds
 
         spec = crawl_pages_spec(sf)
-        rows, seeds = gen_site(
-            n_pages=spec["n_pages"],
-            n_hosts=spec["n_hosts"],
-            seed=spec["seed"],
-            hot_host_frac=spec["hot_host_frac"],
+        synth_pages(
+            spark, spec["n_pages"], n_hosts=spec["n_hosts"], hot_pct=30,
+            fanout=8, paragraphs=60, partitions=16,
+        ).write.mode("overwrite").parquet(path)
+        # Common-Crawl regime: large generation-0 frontier (north_rule)
+        seeds = synth_seeds(
+            max(100, spec["n_pages"] // 4), spec["n_pages"], spec["n_hosts"]
         )
-        write_pages_parquet(spark, rows, path, partitions=16)
         with open(path + ".seeds.json", "w") as f:
             json.dump(seeds, f)
     return path
@@ -93,6 +94,7 @@ def bench_crawl(spark, sf: float, max_generations: int = 6) -> dict:
             frontier_partitions=32,
             use_bloom="auto",
             light_metrics=True,
+            broadcast_frontier_rows=100_000,
         ),
     )
     t0 = time.time()

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the crawl engine (north_rule deployment
+surface: ``spark-submit --py-files owlfrontier.zip jobs/run_crawl.py ...``).
+
+Builds no SparkSession config of its own beyond the app name — master,
+executor counts and memory come from spark-submit, so the same job runs on
+local[N] (sandbox) or a multi-executor cluster unchanged.
+
+Usage:
+  spark-submit --py-files owlfrontier.zip jobs/run_crawl.py \
+      --pages /path/to/pages_parquet_or_table --store /path/to/store \
+      --seeds /path/to/seeds.json [--resume] [--politeness-k 16]
+      [--robots /path/to/robots_parquet] [--max-generations 100]
+      [--bucketed] [--order-out /path/to/order]
+
+Package with:  (cd <repo> && zip -qr owlfrontier.zip owlfrontier)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True,
+                    help="pages parquet path, or table:NAME for a catalog table")
+    ap.add_argument("--store", required=True, help="snapshot-store root")
+    ap.add_argument("--seeds", help="JSON file: list of seed URLs")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--politeness-k", type=int, default=None)
+    ap.add_argument("--robots", help="parquet of (host, robots_txt)")
+    ap.add_argument("--max-generations", type=int, default=100)
+    ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument("--frontier-partitions", type=int, default=256)
+    ap.add_argument("--use-bloom", default="auto")
+    ap.add_argument("--bucketed", action="store_true",
+                    help="pages store is hash-bucketed by url (Iceberg "
+                         "bucket(N,url) / CLUSTERED BY): SMJ, frontier-only shuffle")
+    ap.add_argument("--light-metrics", action="store_true")
+    ap.add_argument("--order-out", help="write the exact crawl order here")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from owlfrontier.crawler import CrawlConfig, CrawlEngine
+
+    spark = SparkSession.builder.appName("owlfrontier-crawl").getOrCreate()
+    pages = (
+        spark.table(args.pages[len("table:"):])
+        if args.pages.startswith("table:")
+        else spark.read.parquet(args.pages)
+    )
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    use_bloom = {"auto": "auto", "true": True, "false": False}[
+        str(args.use_bloom).lower()
+    ]
+    engine = CrawlEngine(
+        spark, pages, args.store, robots_df=robots,
+        config=CrawlConfig(
+            politeness_k=args.politeness_k,
+            robots_enabled=robots is not None,
+            max_generations=args.max_generations,
+            salt_buckets=args.salt_buckets,
+            frontier_partitions=args.frontier_partitions,
+            use_bloom=use_bloom,
+            light_metrics=args.light_metrics,
+            fetch_join="bucketed" if args.bucketed else "auto",
+        ),
+    )
+    if args.resume:
+        summary = engine.run(resume=True)
+    else:
+        if not args.seeds:
+            ap.error("--seeds required unless --resume")
+        with open(args.seeds) as f:
+            seeds = json.load(f)
+        summary = engine.run(seeds=seeds)
+    if args.order_out:
+        engine.crawl_order().write.mode("overwrite").parquet(args.order_out)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

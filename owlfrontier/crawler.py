@@ -54,13 +54,21 @@ class CrawlConfig:
     salt_buckets: int = 8  # hot-host defuse for window + writes
     frontier_partitions: int = 32
     use_bloom: bool | str = "auto"  # auto: on once crawled set is large
-    bloom_auto_threshold: int = 50_000
+    # Bloom pays off when the crawled set is large enough that the exact
+    # anti-join's build side is expensive (10^8+ keys); below that the
+    # probe stage + plan split cost more than they save (measured)
+    bloom_auto_threshold: int = 5_000_000
     bloom_fpp: float = 0.01
     bloom_capacity: int = 2_000_000  # fixed geometry → incremental unions
     # (capacity overrun only raises the FP rate — the exact anti-join still
     #  decides; at 10^10 keys use the sharded-filter deploy config, §4.3.1)
     broadcast_frontier_rows: int = 100_000
     light_metrics: bool = False  # skip informational counts (bench mode)
+    # fetch-join strategy: "auto" broadcasts small frontiers and lets AQE
+    # pick otherwise; "bucketed" assumes the pages store is hash-bucketed
+    # by url (Iceberg bucket(N, url) / Spark CLUSTERED BY) and forces a
+    # sort-merge join so ONLY the frontier side shuffles — the 100 TB path
+    fetch_join: str = "auto"
 
 
 _FRONTIER_SCHEMA = "url string, host string, path array<bigint>"
@@ -81,6 +89,7 @@ class CrawlEngine:
         self.config = config or CrawlConfig()
         self._extract = extraction_udf()
         self._bloom: bloommod.BloomFilter | None = None
+        self._gen_cache: list = []
         self._crawled_count = 0
         self._rules = self._build_rules(robots_df) if (
             robots_df is not None and self.config.robots_enabled
@@ -216,9 +225,12 @@ class CrawlEngine:
         crawled_urls = crawled.select("url")
         if self._bloom is not None:
             probe = bloommod.might_contain_udf(self.spark, self._bloom)
+            # persist the probe output: both union branches read it, and
+            # without caching the python probe stage would run twice
             tagged = frontier.withColumn(
                 "_maybe", probe(F.xxhash64("url"))
-            )
+            ).persist()
+            self._gen_cache.append(tagged)
             definitely_new = tagged.where(~F.col("_maybe")).drop("_maybe")
             suspects = tagged.where(F.col("_maybe")).drop("_maybe")
             survivors = suspects.join(crawled_urls, "url", "left_anti")
@@ -280,14 +292,14 @@ class CrawlEngine:
         # it (selected ⊆ frontier, so frontier_size is a safe upper bound
         # when the selected count was skipped in light mode).
         known = selected_count if selected_count is not None else frontier_size
-        join_left = (
-            F.broadcast(selected)
-            if known <= cfg.broadcast_frontier_rows
-            else selected
-        )
-        fetched = join_left.join(
-            self.pages.withColumnRenamed("text", "stored_text"), "url", "inner"
-        )
+        pages_side = self.pages.withColumnRenamed("text", "stored_text")
+        if known <= cfg.broadcast_frontier_rows:
+            fetched = F.broadcast(selected).join(pages_side, "url", "inner")
+        elif cfg.fetch_join == "bucketed":
+            # bucketed store: SMJ with zero shuffle/sort on the pages side
+            fetched = selected.join(pages_side.hint("merge"), "url", "inner")
+        else:
+            fetched = selected.join(pages_side, "url", "inner")
 
         # O10/O11: one Arrow-vectorized extraction pass
         extracted = fetched.withColumn(
@@ -368,6 +380,9 @@ class CrawlEngine:
             allowed.unpersist()
             if selected is not allowed:
                 selected.unpersist()
+        for df_cached in self._gen_cache:
+            df_cached.unpersist()
+        self._gen_cache.clear()
 
         # incremental Bloom maintenance: fixed geometry (sized for
         # bloom_capacity keys) makes every per-generation filter

@@ -599,6 +599,151 @@ FROM documents
 """
 
 
+
+
+def q_search_phrase(spark, sf_dir):
+    """O16 — search (elastic_search.go:74-157): phrase match with slop 0
+    via positional self-join over the exploded word index; score = number
+    of phrase occurrences per document (the DF re-expression of the ES
+    phrase query; highlighting is presentation-only and out of scope)."""
+    words = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    )
+    a = words.where(F.col("word") == "table").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    b = words.where(F.col("word") == "scan").select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    return (
+        a.join(b, ["doc_id"])
+        .where(F.col("p2") == F.col("p1") + 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+
+
+SQL_SEARCH_PHRASE = """
+WITH words AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents)
+SELECT a.doc_id, count(*) AS score
+FROM words a JOIN words b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.word = 'table' AND b.word = 'scan'
+GROUP BY a.doc_id
+"""
+
+
+def q_neardup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: adjacent-id pairs scored by cosine over
+    integer-quantized vectors (sums of quantized ints are order-stable and
+    engine-exact, unlike float sums), thresholded at 0.0."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+        ).alias("q"),
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("q").alias("qa"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("q").alias("qb"))
+    j = a.join(b, F.col("b_id") == F.col("a_id") + 1)
+    dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+    na = "aggregate(transform(qa, x -> x * x), cast(0 as bigint), (acc, v) -> acc + v)"
+    nb = "aggregate(transform(qb, x -> x * x), cast(0 as bigint), (acc, v) -> acc + v)"
+    cos = F.expr(f"cast({dot} as double) / (sqrt(cast({na} as double)) * sqrt(cast({nb} as double)))")
+    return (
+        j.select("a_id", "b_id", F.round(cos, 6).alias("cos_q"))
+        .where(F.col("cos_q") > 0.0)
+    )
+
+
+SQL_NEARDUP_EMBEDDING = """
+WITH e AS (SELECT vec_id,
+                  [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q
+           FROM embeddings),
+j AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.q AS qa, b.q AS qb
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+s AS (SELECT a_id, b_id,
+             round(
+               list_reduce(list_prepend(0::BIGINT,
+                 [qa[i] * qb[i] for i in generate_series(1, len(qa))]),
+                 (acc, v) -> acc + v)::DOUBLE
+               / (sqrt(list_reduce(list_prepend(0::BIGINT,
+                    [x * x for x in qa]), (acc, v) -> acc + v)::DOUBLE)
+                  * sqrt(list_reduce(list_prepend(0::BIGINT,
+                    [x * x for x in qb]), (acc, v) -> acc + v)::DOUBLE)),
+               6) AS cos_q
+      FROM j)
+SELECT a_id, b_id, cos_q FROM s WHERE cos_q > 0.0
+"""
+
+
+
+
+def q_stats_rollup(spark, sf_dir):
+    """Rollup aggregation (grouping-sets coverage): doc counts and mean
+    length at (lang, source), (lang), and grand-total levels."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+SQL_STATS_ROLLUP = """
+SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+def q_events_daily(spark, sf_dir):
+    """Date/time bucketing: per-day event counts + value totals (the
+    generation-metrics time series shape, SURVEY.md O15)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT ts::DATE AS day, count(*) AS cnt,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_props_json(spark, sf_dir):
+    """JSON extraction over the ``props`` string column: bucket the
+    extracted integer and count (json-function coverage)."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        _events(spark, sf_dir)
+        .select((k - (k % 10)).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_PROPS_JSON = """
+SELECT k_bucket, count(*) AS cnt FROM (
+  SELECT (json_extract_string(props, '$.k')::BIGINT
+          - (json_extract_string(props, '$.k')::BIGINT % 10)) AS k_bucket
+  FROM events) t
+GROUP BY k_bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -622,6 +767,11 @@ QUERIES = {
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "search_phrase": q_search_phrase,
+    "neardup_embedding": q_neardup_embedding,
+    "stats_rollup": q_stats_rollup,
+    "events_daily": q_events_daily,
+    "props_json": q_props_json,
 }
 
 ORACLE = {
@@ -643,4 +793,9 @@ ORACLE = {
     "lang_id": SQL_LANG_ID,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "search_phrase": SQL_SEARCH_PHRASE,
+    "neardup_embedding": SQL_NEARDUP_EMBEDDING,
+    "stats_rollup": SQL_STATS_ROLLUP,
+    "events_daily": SQL_EVENTS_DAILY,
+    "props_json": SQL_PROPS_JSON,
 }
