@@ -225,3 +225,51 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_politeness_k1_reference_tick_equivalence(spark, tmp_path):
+    """k=1 per host per generation ≈ the reference's 5 s tick with one
+    fetcher (FIXTURES.md §1.4) — the stated reference-equivalence budget."""
+    pages = {
+        "http://a.example/r": '<a href="/x">x</a><a href="/y">y</a><a href="/z">z</a>',
+        "http://a.example/x": "<p>x</p>",
+        "http://a.example/y": "<p>y</p>",
+        "http://a.example/z": "<p>z</p>",
+        "http://b.example/r": '<a href="/only">o</a>',
+        "http://b.example/only": "<p>o</p>",
+    }
+    seeds = ["http://a.example/r", "http://b.example/r"]
+    golden = simulate_generations(pages, seeds, politeness_k=1,
+                                  max_generations=50)
+    engine, _ = _run(spark, tmp_path, pages, seeds, politeness_k=1,
+                     max_generations=50)
+    _check_equivalence(engine, golden)
+    # one URL per host per generation, strictly
+    from owlfrontier.urlutil import host_of
+    per = {}
+    for _, gen, url in golden.crawl_order:
+        key = (gen, host_of(url))
+        assert key not in per, key
+        per[key] = url
+    assert len(golden.url_seen) == 6
+
+
+def test_resume_with_bloom_rebuild(spark, tmp_path):
+    """Resume must rebuild the Bloom filter from the committed crawled set
+    (CrawlEngine._rebuild_bloom) and still match the oracle exactly."""
+    rows, seeds = gen_site(n_pages=30, n_hosts=3, seed=31)
+    pdf = pages_df(spark, rows)
+    golden = simulate_generations(pages_map(rows), seeds)
+
+    cfg = dict(salt_buckets=2, frontier_partitions=4,
+               use_bloom=True, bloom_auto_threshold=0, bloom_capacity=10_000)
+    part = CrawlEngine(spark, pdf, str(tmp_path / "store"),
+                       config=CrawlConfig(max_generations=2, **cfg))
+    part.run(seeds=seeds)
+
+    resumed = CrawlEngine(spark, pdf, str(tmp_path / "store"),
+                          config=CrawlConfig(max_generations=100, **cfg))
+    assert resumed._bloom is None
+    resumed.run(resume=True)
+    assert resumed._bloom is not None  # rebuilt from committed generations
+    _check_equivalence(resumed, golden)
