@@ -273,3 +273,35 @@ def test_resume_with_bloom_rebuild(spark, tmp_path):
     resumed.run(resume=True)
     assert resumed._bloom is not None  # rebuilt from committed generations
     _check_equivalence(resumed, golden)
+
+
+def test_salted_partitioning_defuses_hot_host(spark):
+    """SURVEY.md §5.2.6: a Zipf frontier where one host owns ~30% of URLs
+    must spread across salt buckets — no partition holds the whole host."""
+    from pyspark.sql import functions as F
+
+    from owlfrontier.synthweb import synth_pages
+
+    n = 4000
+    pages = synth_pages(spark, n, n_hosts=40, hot_pct=30, partitions=8)
+    frontier = pages.select(
+        "url",
+        F.regexp_extract("url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]*)", 1).alias("host"),
+        F.array(F.xxhash64("url")).alias("path"),
+    )
+    eng_cfg = CrawlConfig(salt_buckets=8, frontier_partitions=16)
+    engine = CrawlEngine.__new__(CrawlEngine)
+    engine.config = eng_cfg
+    parts = (
+        engine._partition_frontier(frontier)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    sizes = [r["count"] for r in parts]
+    hot = frontier.where(F.col("host") == "h0.example").count()
+    assert hot >= 0.25 * n  # the skew actually exists
+    # salting spread: no single partition carries the hot host whole
+    assert max(sizes) < hot * 0.6
+    assert len(sizes) >= 12  # rows actually spread across partitions
