@@ -71,7 +71,8 @@ class CrawlConfig:
     fetch_join: str = "auto"
 
 
-_FRONTIER_SCHEMA = "url string, host string, path array<bigint>"
+_FRONTIER_SCHEMA = ("url string, host string, path array<bigint>, "
+                    "discovered_from string")
 
 
 class CrawlEngine:
@@ -175,6 +176,7 @@ class CrawlEngine:
             "url",
             F.regexp_extract("url", HOST_REGEX, 1).alias("host"),
             F.array(F.col("seq")).alias("path"),
+            F.lit(None).cast("string").alias("discovered_from"),
         )
         # first-wins dedup of duplicate seed submissions (O1/O3 at enqueue)
         w = Window.partitionBy("url").orderBy(*fifo_order())
@@ -309,6 +311,7 @@ class CrawlEngine:
             "url",
             "host",
             "path",
+            "discovered_from",  # per-row lineage (north_rule)
             F.lit(g).alias("gen_fetched"),
             F.col("warc_ts").alias("fetched_on"),
             # deterministic stamp (reference used wall clock,
@@ -345,12 +348,14 @@ class CrawlEngine:
 
         # O13: frontier expansion — posexplode preserves document order
         candidates = crawled_g.select(
+            F.col("url").alias("parent_url"),
             "path",
             F.posexplode("links_candidate").alias("pos", "child"),
         ).select(
             F.col("child").alias("url"),
             F.regexp_extract("child", HOST_REGEX, 1).alias("host"),
             F.concat("path", F.array(F.col("pos").cast("bigint"))).alias("path"),
+            F.col("parent_url").alias("discovered_from"),
         )
         # enqueue-time dedup (O3): drop already-crawled, then first-wins
         all_crawled = self.store.read_crawled(
@@ -373,8 +378,21 @@ class CrawlEngine:
         )
         timings["frontier_write"] = round(time.time() - t, 2)
         t = time.time()
-        next_count = self.store.read_gen("frontier", g + 1).count()
+        written_frontier = self.store.read_gen("frontier", g + 1)
+        next_count = written_frontier.count()
         timings["frontier_count"] = round(time.time() - t, 2)
+        partition_hist = None
+        if not cfg.light_metrics:
+            # per-partition lineage/metrics (north_rule): row spread of the
+            # committed frontier across its salted partitions
+            hist = (
+                written_frontier.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .collect()
+            )
+            partition_hist = sorted(
+                (r["pid"], r["count"]) for r in hist
+            )
 
         if not streamlined:
             allowed.unpersist()
@@ -425,6 +443,7 @@ class CrawlEngine:
             ),
             "parsed": parsed_count,
             "next_frontier": next_count,
+            "frontier_partition_hist": partition_hist,
         }
         return m
 

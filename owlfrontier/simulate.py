@@ -45,6 +45,7 @@ class CrawlGolden:
     # (seq, generation_fetched, url)
     url_seen: set[str] = field(default_factory=set)
     extracted: dict[str, str] = field(default_factory=dict)  # url -> text_json
+    parents: dict[str, str | None] = field(default_factory=dict)  # lineage
     links: dict[str, tuple[list[str], list[str]]] = field(default_factory=dict)
     metrics: list[dict] = field(default_factory=list)
 
@@ -90,8 +91,9 @@ def simulate_generations(
     seen_seed: dict[str, tuple] = {}
     for i, u in enumerate(seeds):
         seen_seed.setdefault(u, (i,))
-    frontier: list[tuple[tuple, str]] = sorted(
-        ((p, u) for u, p in seen_seed.items()), key=key
+    # frontier rows: (path, url, discovered_from) — seeds have no parent
+    frontier: list[tuple[tuple, str, str | None]] = sorted(
+        ((p, u, None) for u, p in seen_seed.items()), key=key
     )
     crawled: dict[str, tuple] = {}
     seq = 0
@@ -99,33 +101,33 @@ def simulate_generations(
     while frontier and gen < max_generations:
         frontier_size = len(frontier)
         # 1. dedup vs crawled (snapshot at generation start)
-        eligible = [(p, u) for p, u in frontier if u not in crawled]
+        eligible = [(p, u, par) for p, u, par in frontier if u not in crawled]
         # 2. robots gate (north_rule addition; no-op when robots is None)
         robots_blocked = 0
         if robots is not None:
             kept = []
-            for p, u in eligible:
+            for p, u, par in eligible:
                 if is_allowed(u, robots.get(host_of(u), [])):
-                    kept.append((p, u))
+                    kept.append((p, u, par))
                 else:
                     robots_blocked += 1
             eligible = kept
         # 3. politeness: first k per host in FIFO order
-        selected: list[tuple[tuple, str]] = []
-        deferred: list[tuple[tuple, str]] = []
+        selected: list[tuple] = []
+        deferred: list[tuple] = []
         per_host: dict[str, int] = {}
-        for p, u in sorted(eligible, key=key):
+        for p, u, par in sorted(eligible, key=key):
             h = host_of(u)
             c = per_host.get(h, 0)
             if politeness_k is None or c < politeness_k:
-                selected.append((p, u))
+                selected.append((p, u, par))
                 per_host[h] = c + 1
             else:
-                deferred.append((p, u))
+                deferred.append((p, u, par))
         # 4-6. fetch + extract + commit
         fetched = failed = parsed = 0
-        candidates: list[tuple[tuple, str]] = []
-        for p, u in selected:
+        candidates: list[tuple] = []
+        for p, u, par in selected:
             if u not in pages:
                 failed += 1  # fetcher.go:51-54 — dropped, NOT seen
                 continue
@@ -136,19 +138,22 @@ def simulate_generations(
             crawled[u] = p
             g.url_seen.add(u)
             g.crawl_order.append((seq, gen, u))
+            g.parents[u] = par
             seq += 1
             g.extracted[u] = page_structure_json(page)
             g.links[u] = (page["links_all"], page["links_candidate"])
             # 7. expansion in document order
             for j, link in enumerate(page["links_candidate"]):
-                candidates.append((p + (j,), link))
+                candidates.append((p + (j,), link, u))
         # next frontier: deferred ∪ new, minus crawled, first-wins per url
         nxt: dict[str, tuple] = {}
-        for p, u in sorted(deferred + candidates, key=key):
+        for p, u, par in sorted(deferred + candidates, key=key):
             if u in crawled or u in nxt:
                 continue
-            nxt[u] = p
-        frontier = sorted(((p, u) for u, p in nxt.items()), key=key)
+            nxt[u] = (p, par)
+        frontier = sorted(
+            ((p, u, par) for u, (p, par) in nxt.items()), key=key
+        )
         g.metrics.append(
             {
                 "generation": gen,

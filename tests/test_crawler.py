@@ -56,6 +56,8 @@ def _check_equivalence(engine, golden):
     assert set(crawled) == golden.url_seen
     for url, text_json in golden.extracted.items():
         assert crawled[url]["text_json"] == text_json, url
+    for url, parent in golden.parents.items():
+        assert crawled[url]["discovered_from"] == parent, (url, parent)
     em = engine.metrics()
     assert len(em) == len(golden.metrics)
     for e, s in zip(em, golden.metrics):
@@ -63,6 +65,10 @@ def _check_equivalence(engine, golden):
                     "selected", "deferred", "fetched", "failed", "parsed",
                     "next_frontier"):
             assert e[key] == s[key], (key, e, s)
+        if e["next_frontier"]:
+            hist = e["frontier_partition_hist"]
+            assert hist is not None
+            assert sum(n for _, n in hist) == e["next_frontier"]
 
 
 # --- scenarios ------------------------------------------------------------
