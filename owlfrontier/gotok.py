@@ -445,6 +445,12 @@ def tokenize(s: str):
             yield tok
         elif tag_kind == "end":
             j = i + 2
+            if j >= n:
+                # EOF right after "</": x/net/html breaks its loop with the
+                # raw "</" still pending, and the post-loop raw.start < raw.end
+                # check emits it as a final TextToken before ErrorToken.
+                yield Token(TEXT, "</")
+                break
             c = s[j]
             if c == ">":
                 i = j + 1  # "</>" → empty comment, dropped

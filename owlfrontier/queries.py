@@ -17,6 +17,8 @@ Portability rules used throughout so Spark and DuckDB hash-match:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -28,6 +30,12 @@ def _h60(expr: str) -> str:
 # DuckDB-side equivalent
 def _h60_duck(expr: str) -> str:
     return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+
+# driver-side equivalent (for precomputing tiny data-independent matrices,
+# e.g. the LSH hyperplane sign matrix, instead of hashing per row)
+def _py_h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 STOPWORDS = ["the", "of", "and", "a", "to", "in", "is", "it", "on", "for"]
@@ -261,18 +269,25 @@ def _shingles_expr() -> str:
 
 def q_minhash_signatures(spark, sf_dir):
     """MinHash over 3-word shingles with 8 portable md5-derived permutations
-    — the signature stage of MinHash+LSH dedup."""
+    — the signature stage of MinHash+LSH dedup.
+
+    Scale shape: the 8 per-permutation minima are computed as one array
+    column per document (``transform(sequence(..), p -> array_min(..))``)
+    and then posexploded — a single narrow projection, zero shuffle and
+    zero row multiplication, vs the naive shingles×perms crossJoin that
+    pushes 8× rows through an aggregation exchange."""
     w = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
-    sh = w.select(
-        "doc_id", F.explode(F.expr(_shingles_expr())).alias("s")
+    sh = w.select("doc_id", F.expr(_shingles_expr()).alias("sh")).where(
+        F.size("sh") > 0
     )
-    perms = spark.range(_N_PERMS).select(F.col("id").alias("p"))
-    mh = F.expr(_h60("concat(cast(p as string), '#', s)"))
-    return (
-        sh.crossJoin(perms)
-        .groupBy("doc_id", "p")
-        .agg(F.min(mh).alias("minhash"))
+    mh = _h60("concat(cast(p as string), '#', s)")
+    mins = (
+        f"transform(sequence(0, {_N_PERMS - 1}), p -> "
+        f"array_min(transform(sh, s -> {mh})))"
     )
+    return sh.select(
+        "doc_id", F.posexplode(F.expr(mins)).alias("p", "minhash")
+    ).select("doc_id", F.col("p").cast("bigint").alias("p"), "minhash")
 
 
 SQL_MINHASH_SIGNATURES = f"""
@@ -345,28 +360,33 @@ _SIMHASH_BITS = 32
 
 def q_simhash(spark, sf_dir):
     """SimHash (32-bit) over distinct words: per-bit ±1 votes from the
-    portable word hash, integer-exact so both engines agree bit-for-bit."""
-    words = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    portable word hash, integer-exact so both engines agree bit-for-bit.
+
+    Scale shape: each word is md5-hashed ONCE into an ``hs`` array column
+    (kept as its own projection so CollapseProject can't inline the
+    non-cheap multi-referenced transform), then all 32 bit-votes and the
+    final bit-pack are folded per row with ``aggregate``/``zip_with`` —
+    zero shuffle and zero row multiplication, vs the naive words×32-bits
+    crossJoin through a two-level aggregation exchange."""
+    ws = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
+        .where(F.col("ws").isNotNull())
     )
-    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    h = F.expr(_h60("word"))
-    vote = (
-        F.when(F.expr(f"(shiftright({_h60('word')}, bit) & 1) = 1"), F.lit(1))
-        .otherwise(F.lit(-1))
+    hashed = ws.select(
+        "doc_id", F.expr(f"transform(ws, w -> {_h60('w')})").alias("hs")
     )
-    per_bit = (
-        words.crossJoin(bits)
-        .select("doc_id", "bit", vote.alias("v"))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("s"))
+    votes = (
+        f"transform(sequence(0, {_SIMHASH_BITS - 1}), b -> "
+        f"aggregate(hs, cast(0 as bigint), (a, h) -> "
+        f"a + IF((shiftright(h, b) & 1) = 1, cast(1 as bigint), cast(-1 as bigint))))"
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
-            .otherwise(F.lit(0))
-        ).alias("simhash")
+    simhash = (
+        f"aggregate(zip_with({votes}, sequence(0, {_SIMHASH_BITS - 1}), "
+        f"(s, b) -> IF(s > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
+        f"cast(0 as bigint), (a, x) -> a + x)"
     )
+    return hashed.select("doc_id", F.expr(simhash).alias("simhash"))
 
 
 SQL_SIMHASH = f"""
@@ -378,7 +398,7 @@ per_bit AS (
          sum(CASE WHEN (({_h60_duck("word")} >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
   FROM words CROSS JOIN bits GROUP BY doc_id, bit)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM per_bit GROUP BY doc_id
 """
 
@@ -427,28 +447,48 @@ _LSH_PLANES = 16
 def q_ann_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucketing (the ANN scale path): 16 pseudo-
     hyperplanes from the portable hash; embeddings quantized to integers
-    before summation so the sign is order-independent and engine-exact."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
+    before summation so the sign is order-independent and engine-exact.
+
+    Scale shape: the 16×dim ±1 sign matrix is data-independent, so it is
+    precomputed on the driver (one md5 per matrix cell, not per row) and
+    embedded as a literal — the standard hyperplane-LSH pattern of
+    generating planes driver-side and broadcasting. Each vector folds all
+    16 projections per row via ``zip_with``/``aggregate`` — zero shuffle,
+    zero row multiplication, zero per-row hashing, vs the naive dims×16
+    crossJoin through two aggregation exchanges. Assumes fixed-dimension
+    embeddings (probed from the first row), the norm for embedding tables."""
+    e = _emb(spark, sf_dir)
+    first = e.select(F.size("embedding").alias("d")).first()
+    dim = first["d"] if first is not None else 0
+    signs = [
+        [1 if _py_h60(f"{b},{d}") % 2 == 0 else -1 for d in range(dim)]
+        for b in range(_LSH_PLANES)
+    ]
+    signs_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{s}L" for s in row) + ")" for row in signs
+        )
+        + ")"
     )
-    planes = spark.range(_LSH_PLANES).select(F.col("id").cast("int").alias("b"))
-    plane_key = "concat(cast(b as string), ',', cast(d as string))"
-    sgn = F.when(
-        F.expr(f"pmod({_h60(plane_key)}, 2) = 0"), F.lit(1)
-    ).otherwise(F.lit(-1))
-    xi = F.round(F.col("x").cast("double") * 1e6).cast("bigint")
-    proj = (
-        e.crossJoin(planes)
-        .select("vec_id", "b", (xi * sgn).alias("term"))
-        .groupBy("vec_id", "b")
-        .agg(F.sum("term").alias("proj"))
+    quant = e.where(F.size("embedding") == dim).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(round(cast(x as double) * 1000000.0D) as bigint))"
+        ).alias("xi"),
     )
-    return proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
-            .otherwise(F.lit(0))
-        ).alias("bucket")
+    projs = (
+        f"transform({signs_sql}, srow -> "
+        f"aggregate(zip_with(xi, srow, (x, s) -> x * s), "
+        f"cast(0 as bigint), (a, t) -> a + t))"
     )
+    bucket = (
+        f"aggregate(zip_with({projs}, sequence(0, {_LSH_PLANES - 1}), "
+        f"(p, b) -> IF(p > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
+        f"cast(0 as bigint), (a, t) -> a + t)"
+    )
+    return quant.select("vec_id", F.expr(bucket).alias("bucket"))
 
 
 SQL_ANN_LSH_BUCKETS = f"""
@@ -463,7 +503,7 @@ proj AS (
                    THEN 1 ELSE -1 END)) AS proj
   FROM e CROSS JOIN planes GROUP BY vec_id, b)
 SELECT vec_id,
-       sum(CASE WHEN proj > 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+       sum(CASE WHEN proj > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
 FROM proj GROUP BY vec_id
 """
 

@@ -272,6 +272,21 @@ def test_unescape_legacy_prefix_fallback_text_only():
     assert unescape("&notit;", True) == "&notit;"
 
 
+def test_eof_right_after_end_tag_open():
+    """Payload ending exactly with '</': x/net/html breaks its Next() loop
+    with the raw '</' pending and emits it as a trailing TextToken (the
+    post-loop ``raw.start < raw.end`` path) — it must not crash."""
+    assert extract_page("abc</", "http://x/")["text"] == ["abc", "</"]
+    assert extract_page("</", "http://x/")["text"] == ["</"]
+    page = extract_page("<h1>x</h1>tail</", "http://x/")
+    assert page["h1"] == ["x"] and page["text"] == ["tail", "</"]
+    # binary payload ending with '</' through the full-record path
+    rec = extract_full(b"\xff\xfe</", "http://x/")
+    rec["text_json"].encode("utf-8")
+    # EOF *inside* an end-tag name stays a dropped ErrorToken (readTag errs)
+    assert extract_page("abc</a", "http://x/")["text"] == ["abc"]
+
+
 def test_numeric_entity_quirks():
     assert unescape("&#x80;", False) == "€"  # C1 → windows-1252
     assert unescape("&#0;", False) == "�"

@@ -80,9 +80,14 @@ _html_alphabet = (
 )
 
 
-@given(st.text(alphabet=_html_alphabet, max_size=300))
+@given(
+    st.text(alphabet=_html_alphabet, max_size=300),
+    st.sampled_from(["", "<", "</", "</a", "<a", "<!", "<!-", "<!--", "<a href"]),
+)
 @settings(max_examples=300, deadline=None)
-def test_tokenizer_never_crashes_and_output_serializes(payload):
+def test_tokenizer_never_crashes_and_output_serializes(payload, suffix):
+    # the suffix forces EOF-mid-construct states random text rarely hits
+    payload = payload + suffix
     page = extract_page(payload, "http://fuzz.example/p")
     j = page_structure_json(page)
     assert j.startswith("{") and j.endswith("}")
