@@ -60,19 +60,18 @@ def crawl_pages_spec(sf: float) -> dict:
 def ensure_bench_pages(spark, sf: float) -> str:
     path = _bench_pages_path(sf)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from owlfrontier.synthweb import synth_pages, synth_seeds
+        from owlfrontier.synthweb import synth_pages, synth_seeds_df
 
         spec = crawl_pages_spec(sf)
         synth_pages(
             spark, spec["n_pages"], n_hosts=spec["n_hosts"], hot_pct=30,
             fanout=8, paragraphs=60, partitions=16,
         ).write.mode("overwrite").parquet(path)
-        # Common-Crawl regime: large generation-0 frontier (north_rule)
-        seeds = synth_seeds(
-            max(100, spec["n_pages"] // 4), spec["n_pages"], spec["n_hosts"]
-        )
-        with open(path + ".seeds.json", "w") as f:
-            json.dump(seeds, f)
+        # Common-Crawl regime: large generation-0 frontier (north_rule) —
+        # built and stored as a (url, seq) parquet table, never a driver list
+        synth_seeds_df(
+            spark, max(100, spec["n_pages"] // 4), spec["n_hosts"]
+        ).write.mode("overwrite").parquet(path + ".seeds")
     return path
 
 
@@ -80,7 +79,7 @@ def bench_crawl(spark, sf: float, max_generations: int = 6) -> dict:
     from owlfrontier.crawler import CrawlConfig, CrawlEngine
 
     path = ensure_bench_pages(spark, sf)
-    seeds = json.load(open(path + ".seeds.json"))
+    seeds = spark.read.parquet(path + ".seeds")
     pages = spark.read.parquet(path)
     store = tempfile.mkdtemp(prefix="owlfrontier-bench-store-")
     engine = CrawlEngine(

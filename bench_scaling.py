@@ -43,7 +43,7 @@ LOCATION '{pages_path}'
 \"\"\")
 from owlfrontier.crawler import CrawlConfig, CrawlEngine
 pages = spark.table("pages_bucketed")
-seeds = json.load(open(seeds_path))
+seeds = spark.read.parquet(seeds_path)  # (url, seq): gen-0 built distributed
 store = tempfile.mkdtemp(prefix=f"owlfrontier-scale-{cpus}-")
 engine = CrawlEngine(spark, pages, store,
     config=CrawlConfig(politeness_k=None, max_generations=6,
@@ -63,11 +63,11 @@ spark.stop()
 def prepare_input(n_pages: int) -> tuple[str, str]:
     from pyspark.sql import SparkSession
 
-    from owlfrontier.synthweb import synth_pages, synth_seeds
+    from owlfrontier.synthweb import synth_pages, synth_seeds_df
 
     path = f"/tmp/owlfrontier-scaling-bucketed-{n_pages}"
-    seeds_path = path + ".seeds.json"
-    if not os.path.exists(seeds_path):
+    seeds_path = path + ".seeds"
+    if not os.path.exists(os.path.join(seeds_path, "_SUCCESS")):
         spark = (
             SparkSession.builder.master("local[16]")
             .config("spark.ui.enabled", "false")
@@ -82,10 +82,12 @@ def prepare_input(n_pages: int) -> tuple[str, str]:
          .bucketBy(64, "url").sortBy("url")
          .option("path", path).saveAsTable("pages_gen"))
         # Common-Crawl regime: the frontier is LARGE from generation 0
-        # (north_rule: 10^10-URL frontier) — seed with half the corpus so
-        # the measured work is steady-state crawling, not BFS ramp-up
-        with open(seeds_path, "w") as f:
-            json.dump(synth_seeds(200_000, n_pages), f)
+        # (north_rule: 10^10-URL frontier) — seed with a large slice of the
+        # corpus so the measured work is steady-state crawling, not BFS
+        # ramp-up; the seed table is parquet, never a driver-side list
+        synth_seeds_df(spark, 200_000).write.mode("overwrite").parquet(
+            seeds_path
+        )
         spark.stop()
     return path, seeds_path
 

@@ -28,14 +28,20 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--pages", required=True,
                     help="pages parquet path, or table:NAME for a catalog table")
     ap.add_argument("--store", required=True, help="snapshot-store root")
-    ap.add_argument("--seeds", help="JSON file: list of seed URLs")
+    ap.add_argument("--seeds",
+                    help="seed input: a parquet path/dir of (url, seq) — the "
+                         "at-scale path, never driver memory — or a .json "
+                         "file holding a list of URLs (small runs only)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--politeness-k", type=int, default=None)
     ap.add_argument("--robots", help="parquet of (host, robots_txt)")
     ap.add_argument("--max-generations", type=int, default=100)
     ap.add_argument("--salt-buckets", type=int, default=8)
     ap.add_argument("--frontier-partitions", type=int, default=256)
-    ap.add_argument("--use-bloom", default="auto")
+    ap.add_argument("--use-bloom", default="auto",
+                    help="auto | true | false | sharded (host-sharded "
+                         "filter, the 10^10-key shape)")
+    ap.add_argument("--bloom-shards", type=int, default=16)
     ap.add_argument("--bucketed", action="store_true",
                     help="pages store is hash-bucketed by url (Iceberg "
                          "bucket(N,url) / CLUSTERED BY): SMJ, frontier-only shuffle")
@@ -54,9 +60,8 @@ def main(argv: list[str]) -> int:
         else spark.read.parquet(args.pages)
     )
     robots = spark.read.parquet(args.robots) if args.robots else None
-    use_bloom = {"auto": "auto", "true": True, "false": False}[
-        str(args.use_bloom).lower()
-    ]
+    use_bloom = {"auto": "auto", "true": True, "false": False,
+                 "sharded": "sharded"}[str(args.use_bloom).lower()]
     engine = CrawlEngine(
         spark, pages, args.store, robots_df=robots,
         config=CrawlConfig(
@@ -66,6 +71,7 @@ def main(argv: list[str]) -> int:
             salt_buckets=args.salt_buckets,
             frontier_partitions=args.frontier_partitions,
             use_bloom=use_bloom,
+            bloom_shards=args.bloom_shards,
             light_metrics=args.light_metrics,
             fetch_join="bucketed" if args.bucketed else "auto",
         ),
@@ -75,8 +81,12 @@ def main(argv: list[str]) -> int:
     else:
         if not args.seeds:
             ap.error("--seeds required unless --resume")
-        with open(args.seeds) as f:
-            seeds = json.load(f)
+        if args.seeds.endswith(".json"):
+            with open(args.seeds) as f:
+                seeds = json.load(f)
+        else:
+            # parquet (url, seq): gen-0 is built distributed, no driver list
+            seeds = spark.read.parquet(args.seeds)
         summary = engine.run(seeds=seeds)
     if args.order_out:
         engine.crawl_order().write.mode("overwrite").parquet(args.order_out)

@@ -53,15 +53,19 @@ class CrawlConfig:
     max_generations: int = 100
     salt_buckets: int = 8  # hot-host defuse for window + writes
     frontier_partitions: int = 32
-    use_bloom: bool | str = "auto"  # auto: on once crawled set is large
+    # "auto": on once crawled set is large; "sharded": host-sharded filter
+    # (the 10^10-key deploy shape, bloom.py ShardedBloomFilter)
+    use_bloom: bool | str = "auto"
     # Bloom pays off when the crawled set is large enough that the exact
     # anti-join's build side is expensive (10^8+ keys); below that the
     # probe stage + plan split cost more than they save (measured)
     bloom_auto_threshold: int = 5_000_000
     bloom_fpp: float = 0.01
-    bloom_capacity: int = 2_000_000  # fixed geometry → incremental unions
-    # (capacity overrun only raises the FP rate — the exact anti-join still
-    #  decides; at 10^10 keys use the sharded-filter deploy config, §4.3.1)
+    bloom_capacity: int = 2_000_000  # minimum geometry sizing
+    # Geometry is FIXED at first activation (incremental unions need equal
+    # geometry) but sized then as max(bloom_capacity, 2× the crawled count
+    # at activation) so auto-activation never starts over capacity.
+    bloom_shards: int = 16  # shard count for use_bloom="sharded"
     broadcast_frontier_rows: int = 100_000
     light_metrics: bool = False  # skip informational counts (bench mode)
     # fetch-join strategy: "auto" broadcasts small frontiers and lets AQE
@@ -89,7 +93,8 @@ class CrawlEngine:
         self.store = SnapshotStore(spark, store_root)
         self.config = config or CrawlConfig()
         self._extract = extraction_udf()
-        self._bloom: bloommod.BloomFilter | None = None
+        self._bloom = None  # BloomFilter | ShardedBloomFilter
+        self._bloom_expected: int | None = None  # geometry, fixed at activation
         self._gen_cache: list = []
         self._crawled_count = 0
         self._rules = self._build_rules(robots_df) if (
@@ -98,11 +103,18 @@ class CrawlEngine:
 
     # -- public surface -----------------------------------------------------
 
-    def run(self, seeds: list[str] | None = None, resume: bool = False) -> dict:
+    def run(
+        self,
+        seeds: list[str] | DataFrame | None = None,
+        resume: bool = False,
+    ) -> dict:
         """Run the crawl to frontier exhaustion or max_generations.
 
         Either ``seeds`` (fresh crawl) or ``resume=True`` (continue from the
-        last committed snapshot — SURVEY.md §5.2.4)."""
+        last committed snapshot — SURVEY.md §5.2.4). ``seeds`` is a Python
+        list only for tests/small runs; the at-scale path is a DataFrame of
+        ``(url STRING, seq BIGINT)`` — a 10^8-row Common-Crawl generation-0
+        frontier must never round-trip through driver memory."""
         cfg = self.config
         if resume:
             manifest = self.store.read_manifest()
@@ -169,9 +181,15 @@ class CrawlEngine:
 
     # -- internals ------------------------------------------------------------
 
-    def _seed_frontier(self, seeds: list[str]) -> DataFrame:
-        rows = [(u, i) for i, u in enumerate(seeds)]
-        df = self.spark.createDataFrame(rows, "url string, seq bigint")
+    def _seed_frontier(self, seeds: list[str] | DataFrame) -> DataFrame:
+        if isinstance(seeds, DataFrame):
+            # table input (url, seq): seq is any order-preserving unique
+            # BIGINT (submission order) — no driver round-trip, no global
+            # sort; FIFO ordering only needs path-lexicographic comparability
+            df = seeds.select("url", F.col("seq").cast("bigint").alias("seq"))
+        else:
+            rows = [(u, i) for i, u in enumerate(seeds)]
+            df = self.spark.createDataFrame(rows, "url string, seq bigint")
         df = df.select(
             "url",
             F.regexp_extract("url", HOST_REGEX, 1).alias("host"),
@@ -206,17 +224,36 @@ class CrawlEngine:
             return self._crawled_count >= cfg.bloom_auto_threshold
         return bool(cfg.use_bloom)
 
+    def _bloom_sizing(self) -> int:
+        """Geometry is fixed at first activation (unions require equal
+        geometry) but sized THEN from the live crawled count, so
+        auto-activation never starts over capacity (the filter would
+        otherwise activate at bloom_auto_threshold keys with
+        bloom_capacity-sized geometry — 2.5× over capacity by default)."""
+        if self._bloom_expected is None:
+            self._bloom_expected = max(
+                self.config.bloom_capacity, 2 * self._crawled_count
+            )
+        return self._bloom_expected
+
+    def _build_bloom(self, df: DataFrame):
+        cfg = self.config
+        if cfg.use_bloom == "sharded":
+            return bloommod.build_sharded_from_df(
+                df, "url", "host", cfg.bloom_shards,
+                expected_n=self._bloom_sizing(), fpp=cfg.bloom_fpp,
+            )
+        return bloommod.build_from_df(
+            df, "url", expected_n=self._bloom_sizing(), fpp=cfg.bloom_fpp
+        )
+
     def _rebuild_bloom(self, crawled_gens: list[int]) -> None:
         crawled = self.store.read_crawled(crawled_gens)
         if crawled is None:
             return
         self._crawled_count = crawled.count()
         if self._bloom_enabled():
-            self._bloom = bloommod.build_from_df(
-                crawled, "url",
-                expected_n=self.config.bloom_capacity,
-                fpp=self.config.bloom_fpp,
-            )
+            self._bloom = self._build_bloom(crawled)
 
     def _dedup(self, frontier: DataFrame, crawled_gens: list[int]) -> DataFrame:
         """O3 — the three reference gates collapsed into one exact anti-join
@@ -226,12 +263,22 @@ class CrawlEngine:
             return frontier
         crawled_urls = crawled.select("url")
         if self._bloom is not None:
-            probe = bloommod.might_contain_udf(self.spark, self._bloom)
+            if isinstance(self._bloom, bloommod.ShardedBloomFilter):
+                probe = bloommod.sharded_might_contain_udf(
+                    self.spark, self._bloom
+                )
+                maybe = probe(
+                    F.pmod(
+                        F.xxhash64("host"), F.lit(self._bloom.n_shards)
+                    ).cast("int"),
+                    F.xxhash64("url"),
+                )
+            else:
+                probe = bloommod.might_contain_udf(self.spark, self._bloom)
+                maybe = probe(F.xxhash64("url"))
             # persist the probe output: both union branches read it, and
             # without caching the python probe stage would run twice
-            tagged = frontier.withColumn(
-                "_maybe", probe(F.xxhash64("url"))
-            ).persist()
+            tagged = frontier.withColumn("_maybe", maybe).persist()
             self._gen_cache.append(tagged)
             definitely_new = tagged.where(~F.col("_maybe")).drop("_maybe")
             suspects = tagged.where(F.col("_maybe")).drop("_maybe")
@@ -384,15 +431,22 @@ class CrawlEngine:
         partition_hist = None
         if not cfg.light_metrics:
             # per-partition lineage/metrics (north_rule): row spread of the
-            # committed frontier across its salted partitions
+            # committed frontier across the WRITE-side salted partitions.
+            # Each write task emits one file, so counting rows per file
+            # measures what was actually written — read-side
+            # spark_partition_id() would reflect input-split packing, not
+            # the salted write partitioning.
             hist = (
-                written_frontier.groupBy(F.spark_partition_id().alias("pid"))
+                written_frontier.groupBy(F.input_file_name().alias("f"))
                 .count()
                 .collect()
             )
-            partition_hist = sorted(
-                (r["pid"], r["count"]) for r in hist
-            )
+            partition_hist = [
+                (i, c)
+                for i, (_f, c) in enumerate(
+                    sorted((r["f"], r["count"]) for r in hist)
+                )
+            ]
 
         if not streamlined:
             allowed.unpersist()
@@ -409,16 +463,13 @@ class CrawlEngine:
         self._crawled_count += fetched_count
         if self._bloom_enabled() and fetched_count:
             if self._bloom is None and crawled_gens:
-                # first activation mid-crawl: fold in everything crawled so far
-                add = bloommod.build_from_df(
-                    self.store.read_crawled(crawled_gens + [g]), "url",
-                    expected_n=cfg.bloom_capacity, fpp=cfg.bloom_fpp,
+                # first activation mid-crawl: fold in everything crawled so
+                # far (geometry fixed now, sized from the live count)
+                add = self._build_bloom(
+                    self.store.read_crawled(crawled_gens + [g])
                 )
             else:
-                add = bloommod.build_from_df(
-                    crawled_g, "url",
-                    expected_n=cfg.bloom_capacity, fpp=cfg.bloom_fpp,
-                )
+                add = self._build_bloom(crawled_g)
             self._bloom = add if self._bloom is None else self._bloom.union(add)
 
         timings["bloom"] = round(time.time() - t, 2)

@@ -57,11 +57,13 @@ class SeedIngest:
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
+        # absence is detected explicitly: any OTHER read error (corrupt /
+        # partial parquet, transient IO) must propagate so the micro-batch
+        # retries instead of silently skipping the anti-join and appending
+        # duplicate seeds (breaking the first-wins invariant)
+        if os.path.isdir(self.table):
             existing = spark.read.parquet(self.table).select("url")
             fresh = fresh.join(existing, "url", "left_anti")
-        except Exception:  # noqa: BLE001 — first batch: table doesn't exist
-            pass
         (
             fresh.withColumn("host", F.regexp_extract("url", HOST_REGEX, 1))
             .withColumn("batch_id", F.lit(batch_id))

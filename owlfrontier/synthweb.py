@@ -97,3 +97,22 @@ def synth_seeds(n_seeds: int, n_pages: int, n_hosts: int = 500,
         host = 0 if (i % 100) < hot_pct else i % n_hosts
         seeds.append(f"http://h{host}.example/p{i}")
     return seeds
+
+
+def synth_seeds_df(spark, n_seeds: int, n_hosts: int = 500,
+                   hot_pct: int = 30, partitions: int = 32) -> DataFrame:
+    """(url, seq) seed table, built distributed — identical URL set to
+    :func:`synth_seeds` but a Common-Crawl-scale generation 0 never passes
+    through driver memory (the north_rule regime is a 10^8–10^10-row
+    generation-0 frontier)."""
+    return (
+        spark.range(0, n_seeds, 1, partitions)
+        .withColumnRenamed("id", "i")
+        .select(
+            F.expr(
+                f"concat('http://h', {host_expr('i', n_hosts, hot_pct)}, "
+                f"'.example/p', i)"
+            ).alias("url"),
+            F.col("i").alias("seq"),
+        )
+    )

@@ -281,6 +281,68 @@ def test_resume_with_bloom_rebuild(spark, tmp_path):
     _check_equivalence(resumed, golden)
 
 
+def test_sharded_bloom_matches_single_filter(spark):
+    """bloom.py ShardedBloomFilter (the 10^10-key shape): B=4 shards built
+    from the same keys must agree with the monolithic filter on every
+    inserted key (zero false negatives — the correctness property; false
+    positives are allowed and arbitrated by the exact anti-join)."""
+    import numpy as np
+
+    from owlfrontier import bloom as bloommod
+    from owlfrontier.synthweb import synth_pages
+    from pyspark.sql import functions as F
+
+    pages = synth_pages(spark, 2000, n_hosts=20, partitions=4).select(
+        "url", F.regexp_extract(
+            "url", r"^[a-z]+://([^/:?#]*)", 1).alias("host")
+    )
+    single = bloommod.build_from_df(pages, "url", expected_n=2000)
+    sharded = bloommod.build_sharded_from_df(
+        pages, "url", "host", n_shards=4, expected_n=2000
+    )
+    rows = pages.select(
+        F.pmod(F.xxhash64("host"), F.lit(4)).cast("int").alias("sid"),
+        F.xxhash64("url").alias("h"),
+    ).collect()
+    sids = np.array([r["sid"] for r in rows], dtype=np.int32)
+    hs = np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
+    assert single.might_contain(hs).all()  # no false negatives, single
+    assert sharded.might_contain(sids, hs).all()  # no false negatives, sharded
+    # union = per-shard bitwise OR (incremental maintenance contract)
+    u = sharded.union(sharded)
+    assert all((a == b).all() for a, b in zip(u.shards, sharded.shards))
+    # absent keys are mostly rejected (the filter actually filters)
+    miss = (hs + np.uint64(0x9E3779B9)) * np.uint64(2654435761)
+    assert sharded.might_contain(sids, miss).mean() < 0.2
+
+
+def test_sharded_bloom_engine_equivalence(spark, tmp_path):
+    """use_bloom='sharded' end-to-end: identical crawl order, seen set, and
+    metrics to the oracle (survivors identical to the exact path)."""
+    rows, seeds = gen_site(n_pages=50, n_hosts=4, seed=7)
+    golden = simulate_generations(pages_map(rows), seeds)
+    engine, _ = _run(spark, tmp_path, pages_df(spark, rows), seeds,
+                     use_bloom="sharded", bloom_shards=4,
+                     bloom_capacity=10_000)
+    assert engine._bloom is not None
+    from owlfrontier.bloom import ShardedBloomFilter
+    assert isinstance(engine._bloom, ShardedBloomFilter)
+    _check_equivalence(engine, golden)
+
+
+def test_seed_table_input_equivalence(spark, tmp_path):
+    """Seeds as a (url, seq) DataFrame — the at-scale generation-0 path —
+    must produce the identical crawl to the driver-list path."""
+    rows, seeds = gen_site(n_pages=40, n_hosts=4, seed=19)
+    golden = simulate_generations(pages_map(rows), seeds)
+    seeds_df = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(seeds)], "url string, seq bigint"
+    ).repartition(4)
+    engine, summary = _run(spark, tmp_path, pages_df(spark, rows), seeds_df)
+    _check_equivalence(engine, golden)
+    assert summary["crawled"] == len(golden.url_seen)
+
+
 def test_salted_partitioning_defuses_hot_host(spark):
     """SURVEY.md §5.2.6: a Zipf frontier where one host owns ~30% of URLs
     must spread across salt buckets — no partition holds the whole host."""

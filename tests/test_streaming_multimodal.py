@@ -70,6 +70,22 @@ def test_seed_ingest_stream(spark, tmp_path):
     assert rates[("b.example", 1)] == 1
 
 
+def test_corrupt_seeds_table_raises_instead_of_duplicating(spark, tmp_path):
+    """A corrupt/partial seeds table must FAIL the micro-batch (so it
+    retries) — not be silently treated as 'first batch', which would skip
+    the anti-join and append duplicate seeds (first-wins violation)."""
+    ingest = SeedIngest(spark, str(tmp_path / "ingest-corrupt"))
+    os.makedirs(ingest.table, exist_ok=True)
+    with open(os.path.join(ingest.table, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    batch = spark.createDataFrame(
+        [("http://a.example/p0", dt.datetime(2026, 1, 1))],
+        "url string, submitted_at timestamp",
+    )
+    with pytest.raises(Exception):
+        ingest._append_batch(batch, 0)
+
+
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
