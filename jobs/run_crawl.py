@@ -27,7 +27,9 @@ def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True,
                     help="pages parquet path, or table:NAME for a catalog table")
-    ap.add_argument("--store", required=True, help="snapshot-store root")
+    ap.add_argument("--store", required=True,
+                    help="snapshot-store root path, or iceberg:<namespace> "
+                         "for the Iceberg backend (needs the runtime jar)")
     ap.add_argument("--seeds",
                     help="seed input: a parquet path/dir of (url, seq) — the "
                          "at-scale path, never driver memory — or a .json "

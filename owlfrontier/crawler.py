@@ -42,7 +42,7 @@ from owlfrontier import bloom as bloommod
 from owlfrontier.extract import extraction_udf
 from owlfrontier.politeness import budget_split, fifo_order
 from owlfrontier.robots import robots_udf
-from owlfrontier.storage import SnapshotStore
+from owlfrontier.storage import resolve_store
 from owlfrontier.urlutil import HOST_REGEX, PATH_REGEX
 
 
@@ -90,7 +90,13 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.pages = pages_df
-        self.store = SnapshotStore(spark, store_root)
+        # TableIO seam: a path → SnapshotStore, "iceberg:<ns>" →
+        # IcebergStore, or any pre-built object implementing the contract
+        self.store = (
+            resolve_store(spark, store_root)
+            if isinstance(store_root, str)
+            else store_root
+        )
         self.config = config or CrawlConfig()
         self._extract = extraction_udf()
         self._bloom = None  # BloomFilter | ShardedBloomFilter

@@ -1,21 +1,29 @@
 """TableIO — snapshot-committed table storage behind one seam (SURVEY.md §7.5).
 
-The north_rule mandates Iceberg tables; the Iceberg Spark runtime jar is not
-resolvable in this sandbox, so the primary implementation is a
-snapshot-directory Parquet layout with an atomically-replaced JSON manifest
-emulating Iceberg's commit semantics:
+The north_rule mandates Iceberg tables. Two interchangeable backends
+implement the seam the engine talks to (``write_gen`` / ``read_gen`` /
+``read_crawled`` / ``commit`` / ``read_manifest`` / ``read_metrics`` /
+``drop_uncommitted`` — contract-tested in tests/test_storage_contract.py):
 
-* every crawl generation commits by (1) writing new Parquet directories,
+* :class:`SnapshotStore` — a snapshot-directory Parquet layout with an
+  atomically-replaced JSON manifest emulating Iceberg's commit semantics.
+  The sandbox default (the Iceberg Spark runtime jar is not resolvable
+  here): every generation commits by (1) writing new Parquet directories,
   (2) atomically replacing ``manifest.json`` (write-tmp + ``os.replace``);
-* a crash mid-generation leaves orphan directories that the manifest never
-  references — the generation simply re-runs (all writes are idempotent
-  recomputes, SURVEY.md §1.3);
-* resume = read the manifest and continue from its recorded generation —
-  the Iceberg analogue of reading the latest committed snapshot.
+  a crash mid-generation leaves orphan directories the manifest never
+  references — the generation simply re-runs (idempotent recomputes,
+  SURVEY.md §1.3); resume = read the manifest.
 
-On a real cluster, set ``spark.sql.catalog.*`` for Iceberg and swap
-:class:`SnapshotStore` for MERGE INTO / snapshot reads; the engine only
-talks to this interface.
+* :class:`IcebergStore` — the cluster path: generation-partitioned Iceberg
+  tables written with atomic ``overwritePartitions`` (idempotent re-runs),
+  a ``meta`` table whose latest appended row IS the commit point (Iceberg
+  appends are atomic snapshot swaps), and metadata ``DELETE`` for dropping
+  uncommitted generations. Import-guarded: construction raises a clear
+  error when the runtime jar / catalog is absent, and the contract test
+  runs against it automatically wherever it IS available.
+
+``resolve_store(spark, spec)`` switches on config: a plain path →
+SnapshotStore; ``iceberg:<namespace>`` → IcebergStore.
 """
 
 from __future__ import annotations
@@ -101,3 +109,153 @@ class SnapshotStore:
         for name in os.listdir(tdir):
             if name.startswith("gen-") and name not in keep:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+
+
+def iceberg_available(spark) -> bool:
+    """True iff the Iceberg Spark runtime is on the session's classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — jvm ClassNotFound surfaces as Py4J err
+        return False
+
+
+class IcebergStore:
+    """The cluster TableIO backend (north_rule: Iceberg tables).
+
+    Layout (all under one namespace, e.g. ``spark_catalog.owl``)::
+
+        {ns}.frontier   PARTITIONED BY (generation)  — snapshot per gen
+        {ns}.crawled    PARTITIONED BY (generation)  — append-only per gen
+        {ns}.meta       one row appended per commit; latest row == manifest
+        {ns}.metrics    full metrics list, replaced on commit
+
+    Commit protocol: per-generation data lands via atomic
+    ``overwritePartitions`` (re-running a crashed generation is an
+    idempotent partition replace — the MERGE-INTO-equivalent for this
+    insert-only workload, SURVEY.md §1.3/§2.4 note on O6), and the commit
+    POINT is the atomic append of one row to ``meta`` — Iceberg appends are
+    snapshot swaps, so a crash before the meta append leaves data the
+    manifest never references, exactly like SnapshotStore's orphan dirs.
+    """
+
+    def __init__(self, spark, namespace: str):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "IcebergStore requires the iceberg-spark-runtime jar and a "
+                "configured catalog (spark.sql.catalog.*); not found on this "
+                "session's classpath. Use SnapshotStore, or submit with "
+                "--packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.13"
+            )
+        self.spark = spark
+        self.ns = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
+
+    # -- manifest ---------------------------------------------------------
+
+    def _t(self, table: str) -> str:
+        return f"{self.ns}.{table}"
+
+    def _exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._t(table))
+
+    def commit(self, generation: int, metrics: list[dict],
+               frontier_empty: bool, crawled_gens: list[int]) -> None:
+        row = [(generation, frontier_empty, json.dumps(crawled_gens))]
+        df = self.spark.createDataFrame(
+            row, "generation int, frontier_empty boolean, crawled_gens string"
+        )
+        if self._exists("meta"):
+            df.writeTo(self._t("meta")).append()  # atomic snapshot == commit
+        else:
+            df.writeTo(self._t("meta")).using("iceberg").create()
+        mdf = self.spark.createDataFrame(
+            [(m["generation"], json.dumps(m)) for m in metrics],
+            "generation int, metric_json string",
+        )
+        if self._exists("metrics"):
+            mdf.writeTo(self._t("metrics")).overwritePartitions()
+        else:
+            mdf.writeTo(self._t("metrics")).using("iceberg").create()
+
+    def read_manifest(self) -> dict | None:
+        if not self._exists("meta"):
+            return None
+        from pyspark.sql import functions as F
+
+        # latest commit = max(generation): one commit per generation, and a
+        # deterministic re-run of a crashed generation appends an identical
+        # row, so the tie is harmless
+        rows = (
+            self.spark.table(self._t("meta"))
+            .orderBy(F.col("generation").desc())
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        r = rows[0]
+        return {
+            "format_version": 1,
+            "generation": r["generation"],
+            "frontier_empty": r["frontier_empty"],
+            "crawled_generations": json.loads(r["crawled_gens"]),
+        }
+
+    def read_metrics(self) -> list[dict]:
+        if not self._exists("metrics"):
+            return []
+        rows = self.spark.table(self._t("metrics")).orderBy("generation")
+        return [json.loads(r["metric_json"]) for r in rows.collect()]
+
+    # -- tables -----------------------------------------------------------
+
+    def write_gen(self, df, table: str, gen: int) -> None:
+        from pyspark.sql import functions as F
+
+        out = df.withColumn("generation", F.lit(gen))
+        if self._exists(table):
+            # atomic partition replace: idempotent re-run of a crashed gen
+            out.writeTo(self._t(table)).overwritePartitions()
+        else:
+            (out.writeTo(self._t(table)).using("iceberg")
+             .partitionedBy("generation").create())
+
+    def read_gen(self, table: str, gen: int):
+        from pyspark.sql import functions as F
+
+        return (
+            self.spark.table(self._t(table))
+            .where(F.col("generation") == gen)  # partition-pruned scan
+            .drop("generation")
+        )
+
+    def read_crawled(self, gens: list[int]):
+        from pyspark.sql import functions as F
+
+        if not gens or not self._exists("crawled"):
+            return None
+        return (
+            self.spark.table(self._t("crawled"))
+            .where(F.col("generation").isin(gens))
+            .drop("generation")
+        )
+
+    def drop_uncommitted(self, table: str, committed: list[int]) -> None:
+        if not self._exists(table):
+            return
+        keep = ", ".join(str(g) for g in committed) or "-1"
+        # metadata-only delete: whole partitions drop without a rewrite
+        self.spark.sql(
+            f"DELETE FROM {self._t(table)} WHERE generation NOT IN ({keep})"
+        )
+
+
+def resolve_store(spark, spec: str):
+    """Config-switched TableIO: ``iceberg:<namespace>`` → IcebergStore,
+    anything else → SnapshotStore rooted at that path."""
+    if spec.startswith("iceberg:"):
+        return IcebergStore(spark, spec[len("iceberg:"):])
+    return SnapshotStore(spark, spec)

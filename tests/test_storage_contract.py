@@ -1,0 +1,118 @@
+"""TableIO seam contract (SURVEY.md §7.4): every behavior the engine relies
+on, exercised against each backend. SnapshotStore always runs; IcebergStore
+runs wherever the Iceberg runtime is on the classpath (skipped cleanly in
+this sandbox) — the contract body is shared, so the Iceberg path is covered
+by the identical assertions the moment the jar is present.
+"""
+
+import pytest
+
+from owlfrontier.storage import (
+    IcebergStore,
+    SnapshotStore,
+    iceberg_available,
+    resolve_store,
+)
+
+
+def _mk_df(spark, urls, extra=0):
+    return spark.createDataFrame(
+        [(u, i + extra) for i, u in enumerate(urls)], "url string, n int"
+    )
+
+
+def _contract(spark, store):
+    """The full seam contract the CrawlEngine depends on."""
+    # fresh store: no manifest, no metrics, no crawled data
+    assert store.read_manifest() is None
+    assert store.read_metrics() == []
+    assert store.read_crawled([]) is None
+
+    # generation writes round-trip, per table, per generation
+    store.write_gen(_mk_df(spark, ["a", "b"]), "frontier", 0)
+    store.write_gen(_mk_df(spark, ["a"]), "crawled", 0)
+    store.write_gen(_mk_df(spark, ["c", "d", "e"], extra=10), "crawled", 1)
+    assert {r["url"] for r in store.read_gen("frontier", 0).collect()} == {"a", "b"}
+    assert {r["url"] for r in store.read_gen("crawled", 1).collect()} == {"c", "d", "e"}
+
+    # write_gen is an idempotent REPLACE of that generation (crashed-gen re-run)
+    store.write_gen(_mk_df(spark, ["a", "z"]), "crawled", 0)
+    assert {r["url"] for r in store.read_gen("crawled", 0).collect()} == {"a", "z"}
+
+    # read_crawled unions exactly the requested generations
+    got = {r["url"] for r in store.read_crawled([0, 1]).collect()}
+    assert got == {"a", "z", "c", "d", "e"}
+    got0 = {r["url"] for r in store.read_crawled([0]).collect()}
+    assert got0 == {"a", "z"}
+
+    # commit + manifest + metrics round-trip (the resume surface)
+    metrics = [{"generation": 0, "fetched": 2}, {"generation": 1, "fetched": 3}]
+    store.commit(1, metrics, frontier_empty=False, crawled_gens=[0, 1])
+    m = store.read_manifest()
+    assert m["generation"] == 1
+    assert m["frontier_empty"] is False
+    assert m["crawled_generations"] == [0, 1]
+    assert store.read_metrics() == metrics
+
+    # a later commit supersedes (latest snapshot wins)
+    store.commit(2, metrics + [{"generation": 2, "fetched": 0}],
+                 frontier_empty=True, crawled_gens=[0, 1])
+    m = store.read_manifest()
+    assert m["generation"] == 2 and m["frontier_empty"] is True
+
+    # drop_uncommitted removes orphan generations, keeps committed ones
+    store.write_gen(_mk_df(spark, ["orphan"]), "crawled", 7)
+    store.drop_uncommitted("crawled", [0, 1])
+    got = {r["url"] for r in store.read_crawled([0, 1]).collect()}
+    assert got == {"a", "z", "c", "d", "e"}
+    # the orphan generation is gone (reads empty or raises — engine never
+    # reads uncommitted gens, so either is acceptable; assert via crawled)
+    try:
+        leftover = store.read_gen("crawled", 7).count()
+    except Exception:  # noqa: BLE001 — path-based backend: dir was deleted
+        leftover = 0
+    assert leftover == 0
+
+
+def test_snapshot_store_contract(spark, tmp_path):
+    _contract(spark, SnapshotStore(spark, str(tmp_path / "seam")))
+
+
+def test_iceberg_store_contract(spark):
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime not on the classpath")
+    _contract(spark, IcebergStore(spark, "spark_catalog.owl_contract"))
+
+
+def test_iceberg_unavailable_raises_clearly(spark):
+    if iceberg_available(spark):
+        pytest.skip("iceberg present: the guard path is not reachable")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        IcebergStore(spark, "spark_catalog.owl")
+
+
+def test_resolve_store_switch(spark, tmp_path):
+    s = resolve_store(spark, str(tmp_path / "p"))
+    assert isinstance(s, SnapshotStore)
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError):
+            resolve_store(spark, "iceberg:spark_catalog.owl")
+
+
+def test_engine_accepts_store_object(spark, tmp_path):
+    """The engine takes a pre-built store (the seam), not just a path."""
+    from owlfrontier.crawler import CrawlConfig, CrawlEngine
+
+    store = SnapshotStore(spark, str(tmp_path / "obj-store"))
+    pages = spark.createDataFrame(
+        [("http://a.example/", bytes(b"<p>hi</p>"))], "url string, html binary"
+    ).selectExpr(
+        "url", "timestamp'2026-01-01' as warc_ts", "html",
+        "cast(null as string) as text", "'en' as lang",
+    )
+    eng = CrawlEngine(spark, pages, store,
+                      config=CrawlConfig(use_bloom=False, salt_buckets=2,
+                                         frontier_partitions=2))
+    summary = eng.run(seeds=["http://a.example/"])
+    assert summary["crawled"] == 1
+    assert eng.store is store
