@@ -5,9 +5,13 @@ The crawl store already carries one binary modality (``html BINARY`` per
 the input_hint); large-scale training pipelines add media blobs with the
 same shape. Everything Spark-side here is real and tested — schemas,
 Arrow batch flow through ``mapInPandas``, partition-preserving transforms,
-deterministic content fingerprints. The codec step itself (actual JPEG /
-audio decode) is STUBBED: the decode libraries are not in this container,
-so ``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
+deterministic content fingerprints.
+
+Codecs: uncompressed BMP (24/32-bit BI_RGB) and PCM WAV decode for REAL
+using only the stdlib + numpy — one genuine byte→array path per modality,
+pytest-covered. Compressed formats (JPEG/PNG/MP3/...) remain STUBBED: those
+codec libraries are not in this container, so for them
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
 ``fake=True``, which substitutes a deterministic content-derived fake
 (stable across runs, good enough to exercise every downstream operator).
 """
@@ -15,6 +19,9 @@ so ``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 
@@ -31,29 +38,103 @@ IMAGE_FEATURES_DDL = (
 FRAME_SAMPLE_DDL = "media_id bigint, frame_idx int, frame_sha256 string"
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL stdlib-only decode of an uncompressed (BI_RGB) 24/32-bit BMP
+    to an HxWx3 uint8 RGB array."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP (got {bpp}bpp, "
+                         f"compression {compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) // 4 * 4
+    need = pix_off + stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=pix_off
+    ).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    rgb = px[:, :, 2::-1]  # BGR(A) -> RGB
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP writer (round-trip partner of
+    :func:`decode_bmp`; also handy for building test payloads)."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    pix = np.zeros((h, stride), dtype=np.uint8)
+    pix[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, bottom-up
+    data = pix.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    STUB: real decode needs an image codec library not present in this
-    container. ``fake=True`` produces a deterministic 8x8x3 array derived
-    from the payload digest — stable, collision-resistant, and shaped like
-    the real thing for downstream plumbing."""
+    Uncompressed BMP decodes for REAL (stdlib struct + numpy). Compressed
+    formats need codec libraries not present in this container: for those,
+    ``fake=True`` produces a deterministic 8x8x3 array derived from the
+    payload digest — stable, collision-resistant, and shaped like the real
+    thing for downstream plumbing."""
+    if payload and payload[:2] == b"BM":
+        return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "pass fake=True for the deterministic stand-in"
+            "only uncompressed BMP decodes natively; other image codecs are "
+            "not available in this environment — pass fake=True for the "
+            "deterministic stand-in"
         )
     digest = hashlib.sha256(payload or b"").digest()
     rng = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return rng.reshape(8, 8, 3).copy()
 
 
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL stdlib decode of PCM WAV to mono float32 in [-1, 1) (16-bit
+    and 8-bit PCM; channels averaged to mono)."""
+    with wave.open(io.BytesIO(payload)) as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        samples = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples.astype(np.float32)
+
+
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB — as :func:`decode_image`, yields 1024 float32 samples."""
+    """PCM WAV decodes for REAL (stdlib ``wave``); other formats as
+    :func:`decode_image` — fake yields 1024 deterministic float32 samples."""
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     if not fake:
         raise NotImplementedError(
-            "audio codecs are not available in this environment; "
-            "pass fake=True for the deterministic stand-in"
+            "only PCM WAV decodes natively; other audio codecs are not "
+            "available in this environment — pass fake=True for the "
+            "deterministic stand-in"
         )
     digest = hashlib.sha256(payload or b"").digest()
     raw = np.frombuffer((digest * 128)[: 1024 * 4], dtype=np.uint32)

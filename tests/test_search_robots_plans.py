@@ -90,6 +90,75 @@ def test_search_phrase_scoring(spark):
     assert hits == [("http://a/1", 2), ("http://a/2", 2)]
 
 
+def test_search_all_field_matches_title_and_headings(spark):
+    """elastic_search.go:84-92: the query matches ``_all`` — a phrase that
+    only appears in the title or an h2 must still hit."""
+    rows = [
+        ("http://b/1", "quick fox", ["nothing relevant"], ["head"], "p"),
+        ("http://b/2", "t", ["body text"], ["quick fox here"], "p"),
+        ("http://b/3", "t", ["no match"], ["head"], "p"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, title string, text array<string>, h2 array<string>, p string"
+    )
+    hits = [(r["url"], r["score"])
+            for r in search_phrase(df, "quick fox", slop=0).collect()]
+    assert hits == [("http://b/1", 1), ("http://b/2", 1)]
+
+
+def test_highlight_fragment_goldens():
+    """Golden fixtures for the ES highlight config the reference sends:
+    pre/post tags (elastic_search.go:124-125), 150×3 fragments
+    (elastic_search.go:129-130), order: score, phrase boost 10."""
+    from owlfrontier.search import (
+        ES_POST_TAG,
+        ES_PRE_TAG,
+        highlight_fragments,
+        render_search_text,
+    )
+
+    lines = ["the quick fox jumps", "a quick dog", "no match here"]
+    frags = highlight_fragments(lines, "quick fox", slop=0)
+    # phrase line scores 10+2, term-only line scores 1 → score order
+    assert frags == [
+        f"the {ES_PRE_TAG}quick{ES_POST_TAG} {ES_PRE_TAG}fox{ES_POST_TAG} jumps",
+        f"a {ES_PRE_TAG}quick{ES_POST_TAG} dog",
+    ]
+    # webapp render: " ... " joiner + <strong> replacement (main.go:115-141)
+    assert render_search_text(frags) == (
+        " ... the <strong>quick</strong> <strong>fox</strong> jumps"
+        " ... a <strong>quick</strong> dog"
+    )
+
+    # fragment_size chunks long lines at token boundaries; number_of_fragments
+    # caps the result at 3 even with more scoring fragments
+    long_line = " ".join(["pad"] * 30 + ["quick"] + ["pad"] * 30)
+    many = [long_line, "quick a", "quick b", "quick c"]
+    frags = highlight_fragments(many, "quick", fragment_size=40)
+    assert len(frags) == 3
+    assert all(ES_PRE_TAG + "quick" + ES_POST_TAG in f for f in frags)
+    # chunking respects fragment_size on the untagged text
+    untagged = frags[0].replace(ES_PRE_TAG, "").replace(ES_POST_TAG, "")
+    assert len(untagged) <= 40
+
+    # slop=1 phrase highlighting: one intervening token allowed
+    frags = highlight_fragments(["quick brown fox"], "quick fox", slop=1)
+    assert frags and frags[0].count(ES_PRE_TAG) == 2
+    assert highlight_fragments(["quick brown fox"], "quick fox", slop=0) == [
+        f"{ES_PRE_TAG}quick{ES_POST_TAG} brown {ES_PRE_TAG}fox{ES_POST_TAG}"
+    ]
+
+
+def test_search_with_highlights_end_to_end(spark):
+    from owlfrontier.search import ES_PRE_TAG, search_with_highlights
+
+    crawled = _crawled_fixture(spark).withColumn("title", F.lit("t"))
+    rows = search_with_highlights(crawled, "quick fox", slop=0).collect()
+    assert [r["url"] for r in rows] == ["http://a/2", "http://a/1"]
+    assert all(ES_PRE_TAG in r["highlights"][0] for r in rows)
+    assert rows[0]["score"] == 2
+
+
 # --- plan-quality regression ---------------------------------------------------
 
 

@@ -86,6 +86,88 @@ def test_corrupt_seeds_table_raises_instead_of_duplicating(spark, tmp_path):
         ingest._append_batch(batch, 0)
 
 
+def test_bmp_decode_roundtrip_real():
+    """fake=False path: uncompressed BMP decodes for real (stdlib only)."""
+    import numpy as np
+
+    from owlfrontier.multimodal import decode_bmp, decode_image, encode_bmp
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)  # w=3: stride pad
+    payload = encode_bmp(img)
+    assert (decode_bmp(payload) == img).all()
+    assert (decode_image(payload, fake=False) == img).all()  # no stub raise
+
+    # 32-bit BGRA variant (alpha dropped)
+    import struct
+    h, w = 2, 2
+    px = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+    data = px[::-1, :, [2, 1, 0, 3]].tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(data),
+                       2835, 2835, 0, 0)
+    out = decode_bmp(hdr + info + data)
+    assert (out == px[:, :, :3]).all()
+
+    # corrupt payloads fail loudly, not silently
+    with pytest.raises(ValueError):
+        decode_bmp(payload[:40])
+
+
+def test_wav_decode_real():
+    import io
+    import wave as wavemod
+
+    import numpy as np
+
+    from owlfrontier.multimodal import decode_audio, decode_wav
+
+    samples = (np.sin(np.linspace(0, 6.28, 64)) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    payload = buf.getvalue()
+    out = decode_wav(payload)
+    assert out.dtype == np.float32 and len(out) == 64
+    assert np.allclose(out, samples.astype(np.float32) / 32768.0)
+    # fake=False no longer raises for WAV
+    assert (decode_audio(payload, fake=False) == out).all()
+
+    # stereo averages to mono
+    stereo = np.stack([samples, -samples], axis=1).ravel()
+    buf2 = io.BytesIO()
+    with wavemod.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(stereo.astype("<i2").tobytes())
+    mono = decode_wav(buf2.getvalue())
+    assert np.allclose(mono, 0.0, atol=1e-4)
+
+
+def test_image_pipeline_real_bmp_through_spark(spark):
+    """fake=False end-to-end: a real BMP payload flows through the
+    mapInPandas feature pipeline."""
+    import numpy as np
+
+    from owlfrontier.multimodal import encode_bmp
+
+    img = np.full((8, 8, 3), 255, dtype=np.uint8)
+    rows = [(1, "image", bytearray(encode_bmp(img)), "image/bmp", 8, 8, None)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = image_feature_pipeline(df, thumb=(2, 2), fake=False).collect()
+    assert len(out) == 1
+    # all-white image → every feature is 1.0 (real decode, not the fake)
+    assert all(abs(f - 1.0) < 1e-6 for f in out[0]["features"])
+
+
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
