@@ -70,9 +70,17 @@ class CrawlConfig:
     light_metrics: bool = False  # skip informational counts (bench mode)
     # fetch-join strategy: "auto" broadcasts small frontiers and lets AQE
     # pick otherwise; "bucketed" assumes the pages store is hash-bucketed
-    # by url (Iceberg bucket(N, url) / Spark CLUSTERED BY) and forces a
-    # sort-merge join so ONLY the frontier side shuffles — the 100 TB path
+    # by url (Iceberg bucket(N, url) / Spark CLUSTERED BY) and uses a
+    # shuffled-HASH join building from the frontier, so ONLY the frontier
+    # side shuffles and the pages side is never sorted — the 100 TB path
     fetch_join: str = "auto"
+    # Arrow batch rows for the extraction UDF. Spark's 10,000-row default
+    # assumes narrow rows; with ~15 KB html BINARY payloads one batch is
+    # ~150 MB *before* the several-fold pandas decode blow-up, and N
+    # concurrent Python workers each hold one — measured memory-thrash
+    # collapse at 32 workers (gen wall 43 s → 492 s). rows × row-bytes
+    # should stay ~10-20 MB per batch. None = leave the session conf alone.
+    arrow_batch_rows: int | None = 1024
 
 
 _FRONTIER_SCHEMA = ("url string, host string, path array<bigint>, "
@@ -98,6 +106,11 @@ class CrawlEngine:
             else store_root
         )
         self.config = config or CrawlConfig()
+        if self.config.arrow_batch_rows is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(self.config.arrow_batch_rows),
+            )
         self._extract = extraction_udf()
         self._bloom = None  # BloomFilter | ShardedBloomFilter
         self._bloom_expected: int | None = None  # geometry, fixed at activation
@@ -351,8 +364,16 @@ class CrawlEngine:
         if known <= cfg.broadcast_frontier_rows:
             fetched = F.broadcast(selected).join(pages_side, "url", "inner")
         elif cfg.fetch_join == "bucketed":
-            # bucketed store: SMJ with zero shuffle/sort on the pages side
-            fetched = selected.join(pages_side.hint("merge"), "url", "inner")
+            # bucketed store: shuffled-HASH join with the frontier as the
+            # build side — the pages side reads its buckets with NO exchange
+            # and NO sort (an SMJ would per-bucket sort the multi-file,
+            # HTML-heavy pages partitions: measured 9× anti-scaling at 32
+            # threads from sort spill when per-task memory shrank); the
+            # frontier shuffles into the bucket layout and builds tiny
+            # per-partition hash maps (bounded by frontier_rows / buckets)
+            fetched = selected.hint("shuffle_hash").join(
+                pages_side, "url", "inner"
+            )
         else:
             fetched = selected.join(pages_side, "url", "inner")
 

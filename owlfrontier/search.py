@@ -47,17 +47,45 @@ def _all_lines_col(df: DataFrame):
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
-def word_index(crawled: DataFrame) -> DataFrame:
-    """O14: (word, doc_count, urls) — the inverted index."""
+def word_index(crawled: DataFrame, posting_cap: int = 1000,
+               salt_buckets: int = 16) -> DataFrame:
+    """O14: (word, doc_count, urls) — the inverted index.
+
+    ``doc_count`` is exact; ``urls`` is the first ``posting_cap`` URLs
+    (sorted) — an UNBOUNDED posting list per word is a 100 TB hazard (a
+    stopword's array would hold every document). The cap is computed with
+    a salted two-phase top-k (local top-k per (word, salt), then global),
+    so a hot word's rows never land in one window partition — the same
+    skew-defusing shape as the politeness budget."""
+    from pyspark.sql import Window
+
     words = (
         crawled.select("url", F.explode("text").alias("line"))
         .select("url", F.explode(F.split("line", " ")).alias("word"))
         .where(F.length("word") > 2)
+        .dropDuplicates(["word", "url"])
     )
-    return words.groupBy("word").agg(
-        F.countDistinct("url").alias("doc_count"),
-        F.collect_set("url").alias("urls"),
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("doc_count")
     )
+    salted = words.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+    )
+    w_local = Window.partitionBy("word", "salt").orderBy("url")
+    local = (
+        salted.withColumn("_rn", F.row_number().over(w_local))
+        .where(F.col("_rn") <= posting_cap)  # superset of the global top-k
+        .drop("_rn", "salt")
+    )
+    w_global = Window.partitionBy("word").orderBy("url")
+    top = (
+        local.withColumn("_rn", F.row_number().over(w_global))
+        .where(F.col("_rn") <= posting_cap)
+    )
+    postings = top.groupBy("word").agg(
+        F.sort_array(F.collect_list("url")).alias("urls")
+    )
+    return counts.join(postings, "word")
 
 
 def index_stats(crawled: DataFrame) -> DataFrame:

@@ -128,7 +128,8 @@ class SeedIngest:
         return self.spark.read.parquet(self.rates)
 
     def seed_list(self) -> list[str]:
-        """Seeds in submission order — generation-0 input for CrawlEngine."""
+        """Seeds in submission order as a driver list — small runs/tests
+        only; the at-scale surface is :meth:`seed_frontier`."""
         rows = (
             self.seeds()
             .orderBy("submitted_at", "url")
@@ -136,3 +137,14 @@ class SeedIngest:
             .collect()
         )
         return [r["url"] for r in rows]
+
+    def seed_frontier(self) -> DataFrame:
+        """(url, seq) in submission order, computed distributed (range
+        partitions + per-partition offsets, ordering.py) — the generation-0
+        input for ``CrawlEngine.run(seeds=...)`` at any seed-table scale."""
+        from owlfrontier.ordering import with_order_preserving_seq
+
+        return with_order_preserving_seq(
+            self.seeds().select("url", "submitted_at"),
+            ["submitted_at", "url"],
+        ).select("url", "seq")

@@ -68,6 +68,18 @@ def test_word_index_semantics(spark):
     assert "a" not in idx
 
 
+def test_word_index_posting_cap(spark):
+    """posting_cap bounds the urls array (the 100 TB hot-word guard) while
+    doc_count stays exact; capped list = first N urls sorted."""
+    crawled = _crawled_fixture(spark)
+    idx = {r["word"]: r for r in
+           word_index(crawled, posting_cap=1, salt_buckets=2).collect()}
+    assert idx["fox"]["doc_count"] == 2
+    assert idx["fox"]["urls"] == ["http://a/1"]  # smallest url, len == cap
+    full = {r["word"]: sorted(r["urls"]) for r in word_index(crawled).collect()}
+    assert full["fox"] == ["http://a/1", "http://a/2"]
+
+
 def test_index_stats_view(spark):
     row = index_stats(_crawled_fixture(spark)).first()
     assert row["fetched"] == 3 and row["parsed"] == 2
@@ -195,10 +207,15 @@ def test_bucketed_fetch_join_shuffles_only_frontier(spark, tmp_path):
     )
     frontier.write.mode("overwrite").parquet(str(tmp_path / "fr"))
     fr = spark.read.parquet(str(tmp_path / "fr"))
-    plan = _plan(fr.join(pages.hint("merge"), "url", "inner"))
-    # exactly one Exchange (frontier side); pages side pre-bucketed+sorted
+    plan = _plan(fr.hint("shuffle_hash").join(pages, "url", "inner"))
+    # exactly one Exchange (frontier side); pages buckets stream with NO
+    # sort; the hash map builds from the frontier (BuildLeft) — the fetch
+    # join the engine emits for fetch_join="bucketed" (crawler.py: an SMJ
+    # here per-bucket sorts the HTML-heavy pages side and spills at high
+    # thread counts)
     assert plan.count("Exchange") == 1
-    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan and "BuildLeft" in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")
     spark.sql("DROP TABLE pages_plan_test")
 
 

@@ -70,6 +70,41 @@ def test_seed_ingest_stream(spark, tmp_path):
     assert rates[("b.example", 1)] == 1
 
 
+def test_order_preserving_seq_matches_global_sort(spark):
+    """ordering.with_order_preserving_seq == row_number over a global sort,
+    without the single-partition collapse."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from owlfrontier.ordering import with_order_preserving_seq
+
+    df = spark.range(0, 500, 1, 8).select(
+        (F.col("id") * 7919 % 500).alias("k"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    )
+    got = with_order_preserving_seq(df, ["k", "url"]).collect()
+    w = Window.orderBy("k", "url")
+    want = df.withColumn("seq", F.row_number().over(w) - 1).collect()
+    assert sorted((r["url"], r["seq"]) for r in got) == sorted(
+        (r["url"], r["seq"]) for r in want
+    )
+
+
+def test_seed_frontier_distributed_matches_seed_list(spark, tmp_path):
+    """SeedIngest.seed_frontier() (distributed) orders seeds identically to
+    the driver-side seed_list()."""
+    ingest = SeedIngest(spark, str(tmp_path / "ingest-seq"))
+    _write_inbox(ingest, "b1.json", [
+        ("http://b.example/p1", "2026-01-01T00:00:02Z"),
+        ("http://a.example/p0", "2026-01-01T00:00:01Z"),
+        ("http://c.example/p2", "2026-01-01T00:00:03Z"),
+    ])
+    ingest.drain()
+    rows = ingest.seed_frontier().orderBy("seq").collect()
+    assert [r["url"] for r in rows] == ingest.seed_list()
+    assert [r["seq"] for r in rows] == [0, 1, 2]
+
+
 def test_corrupt_seeds_table_raises_instead_of_duplicating(spark, tmp_path):
     """A corrupt/partial seeds table must FAIL the micro-batch (so it
     retries) — not be silently treated as 'first batch', which would skip
