@@ -59,14 +59,17 @@ def crawl_pages_spec(sf: float) -> dict:
 
 def ensure_bench_pages(spark, sf: float) -> str:
     path = _bench_pages_path(sf)
+    spec = crawl_pages_spec(sf)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from owlfrontier.synthweb import synth_pages, synth_seeds_df
+        from owlfrontier.synthweb import synth_pages
 
-        spec = crawl_pages_spec(sf)
         synth_pages(
             spark, spec["n_pages"], n_hosts=spec["n_hosts"], hot_pct=30,
             fanout=8, paragraphs=60, partitions=16,
         ).write.mode("overwrite").parquet(path)
+    if not os.path.exists(os.path.join(path + ".seeds", "_SUCCESS")):
+        from owlfrontier.synthweb import synth_seeds_df
+
         # Common-Crawl regime: large generation-0 frontier (north_rule) —
         # built and stored as a (url, seq) parquet table, never a driver list
         synth_seeds_df(
@@ -117,6 +120,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from owlfrontier.queries import QUERIES
+
+    # JVM/codegen/parquet-reader warmup so the first timed query doesn't
+    # absorb ~5 s of one-time session cost (measured: word_index 6.5 s as
+    # the first query vs 0.4 s steady-state)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "count(*)", "max(length(text))"
+    ).collect()
+    spark.range(0, 1000, 1, 8).selectExpr("sum(id)").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -53,6 +53,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the rows across the cluster before a heavy per-row
+    projection. The sandbox sf tables are single-row-group parquet —
+    unsplittable, so a zero-shuffle plan would run its whole per-row array
+    workload on ONE task; at 100 TB the scan has thousands of splits and
+    this repartition is a no-op cost-wise (one narrow pass of the raw
+    rows, no multiplication)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Crawl-shaped operators (SURVEY.md §2.1)
 # ---------------------------------------------------------------------------
@@ -62,7 +73,7 @@ def q_word_index(spark, sf_dir):
     """O14 — the CouchDB search view (couchdb.go:87-96): split text lines on
     ' ', keep words longer than 2 chars, build the inverted-index counts."""
     return (
-        _docs(spark, sf_dir)
+        _spread(_docs(spark, sf_dir))
         .select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.length("word") > 2)
         .groupBy("word")
@@ -257,13 +268,17 @@ _N_PERMS = 8
 
 
 def _shingles_expr() -> str:
-    # 3-word shingles, distinct, guarded for short docs (Spark sequence()
-    # DESCENDS when stop < start, so the guard is mandatory)
+    # 3-word shingles, distinct. Callers must pre-filter size(w) >= 3 (Spark
+    # sequence() DESCENDS when stop < start). Deliberately NOT wrapped in a
+    # guarding CASE + post-filter on the result: a filter on the computed
+    # array gets predicate-pushed below the projection, substituting this
+    # whole expression into the filter — measured 5-6× slower from double
+    # evaluation. Filter the cheap size(w) upstream instead.
     return (
-        "CASE WHEN size(w) >= 3 THEN array_distinct(transform("
+        "array_distinct(transform("
         "  sequence(1, size(w) - 2),"
         "  i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))"
-        ")) ELSE array() END"
+        "))"
     )
 
 
@@ -271,21 +286,29 @@ def q_minhash_signatures(spark, sf_dir):
     """MinHash over 3-word shingles with 8 portable md5-derived permutations
     — the signature stage of MinHash+LSH dedup.
 
-    Scale shape: the 8 per-permutation minima are computed as one array
-    column per document (``transform(sequence(..), p -> array_min(..))``)
-    and then posexploded — a single narrow projection, zero shuffle and
-    zero row multiplication, vs the naive shingles×perms crossJoin that
-    pushes 8× rows through an aggregation exchange."""
-    w = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
-    sh = w.select("doc_id", F.expr(_shingles_expr()).alias("sh")).where(
-        F.size("sh") > 0
+    Scale shape: each shingle is md5-hashed ONCE; the 8 permutation values
+    are 8 overlapping 13-hex-char (52-bit) windows of that one digest, so
+    the per-permutation minima fold into one array column per document
+    (``transform(sequence(..), p -> array_min(..))``) and posexplode — a
+    single narrow projection, zero shuffle, zero row multiplication, and
+    1/8th the hashing of the naive shingles×perms crossJoin that pushes 8×
+    rows through an aggregation exchange."""
+    w = (
+        _spread(_docs(spark, sf_dir))
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)  # early filter on the CHEAP column — see
+        # _shingles_expr: filtering the computed array instead double-
+        # evaluates the whole shingle transform via predicate pushdown
     )
-    mh = _h60("concat(cast(p as string), '#', s)")
+    sh = w.select("doc_id", F.expr(_shingles_expr()).alias("sh"))
+    hashed = sh.select(
+        "doc_id", F.expr("transform(sh, s -> md5(s))").alias("hs")
+    )
     mins = (
-        f"transform(sequence(0, {_N_PERMS - 1}), p -> "
-        f"array_min(transform(sh, s -> {mh})))"
+        f"transform(sequence(0, {_N_PERMS - 1}), p -> array_min(transform("
+        f"hs, m -> cast(conv(substring(m, p * 2 + 1, 13), 16, 10) as bigint))))"
     )
-    return sh.select(
+    return hashed.select(
         "doc_id", F.posexplode(F.expr(mins)).alias("p", "minhash")
     ).select("doc_id", F.col("p").cast("bigint").alias("p"), "minhash")
 
@@ -298,9 +321,11 @@ sh AS (SELECT doc_id, unnest(list_distinct(
             for i in generate_series(1, len(w) - 2)]
          ELSE [] END)) AS s
        FROM w),
+hs AS (SELECT doc_id, md5(s) AS m FROM sh),
 perms AS (SELECT unnest(generate_series(0, {_N_PERMS - 1})) AS p)
-SELECT doc_id, p, min({_h60_duck("p::VARCHAR || '#' || s")}) AS minhash
-FROM sh CROSS JOIN perms
+SELECT doc_id, p,
+       min(('0x' || substr(m, (p * 2 + 1)::INT, 13))::BIGINT) AS minhash
+FROM hs CROSS JOIN perms
 GROUP BY doc_id, p
 """
 
@@ -342,10 +367,11 @@ sh AS (SELECT doc_id, unnest(list_distinct(
             for i in generate_series(1, len(w) - 2)]
          ELSE [] END)) AS s
        FROM w),
+hs AS (SELECT doc_id, md5(s) AS m FROM sh),
 perms AS (SELECT unnest(generate_series(0, {_N_PERMS - 1})) AS p),
 sig AS (SELECT doc_id, p, (p // 2)::INT AS band,
-               min({_h60_duck("p::VARCHAR || '#' || s")}) AS minhash
-        FROM sh CROSS JOIN perms GROUP BY doc_id, p),
+               min(('0x' || substr(m, (p * 2 + 1)::INT, 13))::BIGINT) AS minhash
+        FROM hs CROSS JOIN perms GROUP BY doc_id, p),
 bands AS (SELECT doc_id, band,
                  string_agg(minhash::VARCHAR, ',' ORDER BY p) AS band_key
           FROM sig GROUP BY doc_id, band)
@@ -369,9 +395,10 @@ def q_simhash(spark, sf_dir):
     zero shuffle and zero row multiplication, vs the naive words×32-bits
     crossJoin through a two-level aggregation exchange."""
     ws = (
-        _docs(spark, sf_dir)
+        _spread(_docs(spark, sf_dir))
+        .where(F.col("text").isNotNull())  # filter the raw column, not the
+        # computed array (predicate pushdown would re-evaluate the split)
         .select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
-        .where(F.col("ws").isNotNull())
     )
     hashed = ws.select(
         "doc_id", F.expr(f"transform(ws, w -> {_h60('w')})").alias("hs")
@@ -471,7 +498,7 @@ def q_ann_lsh_buckets(spark, sf_dir):
         )
         + ")"
     )
-    quant = e.where(F.size("embedding") == dim).select(
+    quant = _spread(e.where(F.size("embedding") == dim)).select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> "

@@ -183,7 +183,13 @@ def test_word_index_query_prunes_to_text_column(spark):
 
     plan = _plan(QUERIES["word_index"](spark, "/root/testdata/sf0.001"))
     assert "ReadSchema: struct<text:string>" in plan  # column pruning
-    assert plan.count("Exchange") == 1  # partial agg → one shuffle → final
+    # two exchanges by design: a round-robin spread of the raw rows (the
+    # sf tables are single-row-group parquet — unsplittable, so the heavy
+    # explode would otherwise run on ONE task; at 100 TB the scan has
+    # thousands of splits and the spread is a no-op) + the agg shuffle
+    assert plan.count("Exchange") == 2
+    assert plan.count("RoundRobinPartitioning") == 1
+    assert plan.count("hashpartitioning") == 1  # partial agg → one shuffle
 
 
 def test_dedup_antijoin_broadcasts_seen_side(spark):
