@@ -430,6 +430,169 @@ FROM per_bit GROUP BY doc_id
 """
 
 
+_HAMMING_BANDS = 2  # 16-bit bands over the 32-bit simhash
+_HAMMING_MAX = 1
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS (exact hamming ≤ 1) at scale via query
+    expansion: each doc emits 33 probe keys (its fingerprint + every
+    single-bit flip) and an equi-join on the full 32-bit value returns
+    exactly the answer pairs — candidates == answers, no all-pairs, no
+    skewed LSH band buckets. The oracle computes the same pair set through
+    the equivalent 16-bit-band + hamming-filter formulation (both are
+    exact for hamming ≤ 1 by pigeonhole), so the two engines agree
+    row-for-row."""
+    sim = q_simhash(spark, sf_dir)
+    # query expansion: each doc probes its own fingerprint plus all 32
+    # single-bit flips; an equi-join on the FULL 32-bit value then yields
+    # exactly the hamming ≤ 1 pairs. Candidates == answers — no skewed
+    # band buckets (16-bit banding measured 1.2M candidate pairs for ~100k
+    # answers on this near-dup-heavy corpus). Each unordered pair emerges
+    # exactly once: (a probes, b matches) survives a_id < b_id, the mirror
+    # row doesn't, so no distinct is needed.
+    probes = sim.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("simhash").alias("a_sim"),
+        F.explode(
+            F.expr(
+                f"concat(array(simhash), transform("
+                f"sequence(0, {_SIMHASH_BITS - 1}), "
+                f"k -> simhash ^ shiftleft(cast(1 as bigint), k)))"
+            )
+        ).alias("probe"),
+    )
+    b = sim.select(F.col("doc_id").alias("b_id"),
+                   F.col("simhash").alias("b_sim"))
+    return (
+        probes.join(b, F.col("probe") == F.col("b_sim"))
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.bit_count(F.expr("a_sim ^ b_sim")).cast("int").alias("hamming"),
+        )
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+               FROM documents),
+bits AS (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1}))::INT AS bit),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (({_h60_duck("word")} >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM words CROSS JOIN bits GROUP BY doc_id, bit),
+sim AS (SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+        FROM per_bit GROUP BY doc_id),
+bands AS (SELECT doc_id, simhash, b AS band,
+                 (simhash >> (b * 16)) & 65535 AS band_val
+          FROM sim CROSS JOIN (SELECT unnest(generate_series(0, {_HAMMING_BANDS - 1})) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id)
+SELECT a_id, b_id, hamming FROM cand WHERE hamming <= {_HAMMING_MAX}
+"""
+
+
+_IVF_K = 8
+
+
+def q_ann_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization (the other ANN scale path besides LSH):
+    assign every vector to its nearest of K centroids by integer-quantized
+    squared-L2 — at search time only the probed centroid's inverted list
+    is scanned. The codebook here is the first K vectors (a deterministic
+    stand-in for a k-means codebook — training is out of scope; the
+    ASSIGN/probe dataflow is the Spark-side artifact). Scale shape: the
+    K×dim codebook is collected once and embedded as a literal (the
+    broadcast-codebook pattern); assignment is a per-row argmin fold —
+    zero shuffle, zero row multiplication."""
+    e = _emb(spark, sf_dir)
+    cents = (
+        e.where(F.col("vec_id") < _IVF_K)
+        .orderBy("vec_id")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                "cast(round(cast(x as double) * 1000000.0D) as bigint))"
+            ).alias("ci"),
+        )
+        .collect()
+    )
+    cent_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v}L" for v in row["ci"]) + ")"
+            for row in cents
+        )
+        + ")"
+    )
+    quant = _spread(e).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(round(cast(x as double) * 1000000.0D) as bigint))"
+        ).alias("xi"),
+    )
+    dists = (
+        f"transform({cent_sql}, c -> aggregate("
+        f"zip_with(xi, c, (a, b) -> (a - b) * (a - b)), "
+        f"cast(0 as bigint), (acc, t) -> acc + t))"
+    )
+    # argmin with lowest-centroid tiebreak: array_position finds the FIRST
+    # occurrence of the minimum
+    assign = (
+        f"cast(array_position({dists}, array_min({dists})) - 1 as bigint)"
+    )
+    return quant.select(
+        "vec_id",
+        F.expr(assign).alias("centroid"),
+        F.expr(f"array_min({dists})").alias("dist2"),
+    )
+
+
+SQL_ANN_IVF_ASSIGN = f"""
+WITH q AS (SELECT vec_id,
+                  [round(x::DOUBLE * 1e6)::BIGINT for x in embedding] AS xi
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, xi AS ci FROM q WHERE vec_id < {_IVF_K}),
+d AS (SELECT q.vec_id, c.cid,
+             list_sum([(q.xi[i] - c.ci[i]) * (q.xi[i] - c.ci[i])
+                       for i in generate_series(1, len(q.xi))])::BIGINT AS dist2
+      FROM q CROSS JOIN c)
+SELECT vec_id, cid AS centroid, dist2
+FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+"""
+
+
+def q_order_seq(spark, sf_dir):
+    """Dense order-preserving sequence numbers WITHOUT a global
+    single-partition sort (ordering.with_order_preserving_seq: range
+    partitions + per-partition offsets + one mapInPandas numbering pass) —
+    the at-scale way to assign submission order to a 10^8-row seed table.
+    Oracle = the equivalent global-sort row_number."""
+    from owlfrontier.ordering import with_order_preserving_seq
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("bigint").alias("text_len")
+    )
+    return with_order_preserving_seq(
+        docs, ["text_len", "doc_id"], partitions=8
+    ).select("doc_id", "seq")
+
+
+SQL_ORDER_SEQ = """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY length(text), doc_id) - 1)::BIGINT AS seq
+FROM documents
+"""
+
+
 def q_ann_bruteforce_topk(spark, sf_dir):
     """Brute-force cosine top-k (the ANN baseline): 5 query vectors × all
     candidates; output integer ranks only (float scores are not
@@ -828,8 +991,11 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_assign": q_ann_ivf_assign,
+    "order_seq": q_order_seq,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
@@ -854,8 +1020,11 @@ ORACLE = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "ann_ivf_assign": SQL_ANN_IVF_ASSIGN,
+    "order_seq": SQL_ORDER_SEQ,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "token_count": SQL_TOKEN_COUNT,
