@@ -868,6 +868,64 @@ GROUP BY a.doc_id
 """
 
 
+def q_search_highlights(spark, sf_dir):
+    """O16 full search surface — phrase hits over ``_all`` plus ES-config
+    highlight fragments (search.py; elastic_search.go:111-157). Non-SQL-
+    expressible (the fragmenter is an Arrow-vectorized pandas UDF), so the
+    driver records the weaker rows-only check; the string semantics are
+    pinned by pytest goldens instead."""
+    from owlfrontier.search import search_with_highlights
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("").alias("title"),
+        F.array(F.col("text")).alias("text"),
+    )
+    res = search_with_highlights(docs, "table scan", slop=0, limit=20)
+    return res.select(
+        "url",
+        "score",
+        F.size("highlights").alias("n_fragments"),
+        F.element_at("highlights", 1).alias("top_fragment"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary-column pipeline as a checked query (rows-only:
+    image decode is not SQL-expressible): deterministic BMP payloads
+    derived per doc_id, decoded for REAL by the stdlib BMP codec inside
+    the ``mapInPandas`` feature pipeline (multimodal.py) — the byte →
+    array → feature dataflow a media corpus runs at scale."""
+    import hashlib as _hl
+
+    from owlfrontier.multimodal import encode_bmp, image_feature_pipeline
+
+    docs = _spread(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("media_id")
+    )
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                digest = _hl.sha256(str(int(mid)).encode()).digest()
+                img = np.frombuffer(
+                    (digest * 6)[: 8 * 8 * 3], dtype=np.uint8
+                ).reshape(8, 8, 3)
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, "media_id bigint, payload binary")
+    return image_feature_pipeline(media, thumb=(2, 2), fake=False).select(
+        "media_id", "sha256", "n_bytes", "thumb_w", "thumb_h"
+    )
+
+
 def q_neardup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup: adjacent-id pairs scored by cosine over
     integer-quantized vectors (sums of quantized ints are order-stable and
@@ -1001,6 +1059,8 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "search_phrase": q_search_phrase,
+    "search_highlights": q_search_highlights,  # rows-only (pandas-UDF op)
+    "multimodal_features": q_multimodal_features,  # rows-only (binary decode)
     "neardup_embedding": q_neardup_embedding,
     "stats_rollup": q_stats_rollup,
     "events_daily": q_events_daily,

@@ -10,9 +10,16 @@ from owlfrontier.queries import ORACLE, QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 
+# non-SQL-expressible ops: queries() entries with NO oracle — the driver
+# records the weaker rows-only check for these (pandas-UDF string work /
+# binary decode); their exact semantics are pinned by pytest goldens
+ROWS_ONLY = {"search_highlights", "multimodal_features"}
+
+
 def test_registry_complete():
-    assert set(QUERIES) == set(ORACLE)
-    assert len(QUERIES) >= 18
+    assert set(QUERIES) == set(ORACLE) | ROWS_ONLY
+    assert not ROWS_ONLY & set(ORACLE)
+    assert len(ORACLE) >= 18
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
