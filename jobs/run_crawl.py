@@ -36,6 +36,9 @@ def main(argv: list[str]) -> int:
                          "file holding a list of URLs (small runs only)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--politeness-k", type=int, default=None)
+    ap.add_argument("--priority", default="fifo",
+                    help="budget order: fifo | dfs | a SQL expression over "
+                         "the frontier columns (ascending)")
     ap.add_argument("--robots", help="parquet of (host, robots_txt)")
     ap.add_argument("--max-generations", type=int, default=100)
     ap.add_argument("--salt-buckets", type=int, default=8)
@@ -68,6 +71,7 @@ def main(argv: list[str]) -> int:
         spark, pages, args.store, robots_df=robots,
         config=CrawlConfig(
             politeness_k=args.politeness_k,
+            priority=args.priority,
             robots_enabled=robots is not None,
             max_generations=args.max_generations,
             salt_buckets=args.salt_buckets,

@@ -53,6 +53,14 @@ class CrawlConfig:
     max_generations: int = 100
     salt_buckets: int = 8  # hot-host defuse for window + writes
     frontier_partitions: int = 32
+    # priority-queue policy for the per-host budget (north_rule: the
+    # frontier is a partitioned priority queue). "fifo" = reference BFS
+    # order (the equivalence target); "dfs" = deepest paths first; any
+    # other string = a SQL expression over the frontier columns (url,
+    # host, path, discovered_from), ascending, FIFO tiebreak. Priority
+    # changes WHICH generation a URL is fetched in, never WHETHER — the
+    # seen-set is priority-invariant (deferral preserves membership).
+    priority: str = "fifo"
     # "auto": on once crawled set is large; "sharded": host-sharded filter
     # (the 10^10-key deploy shape, bloom.py ShardedBloomFilter)
     use_bloom: bool | str = "auto"
@@ -221,6 +229,16 @@ class CrawlEngine:
             F.col("_rn") == 1
         ).drop("_rn")
 
+    def _priority_order(self) -> list:
+        p = self.config.priority
+        if p == "fifo":
+            return fifo_order()
+        if p == "dfs":
+            return [F.size("path").desc(), F.col("path")]
+        # custom SQL expression, ascending; FIFO key breaks ties so the
+        # schedule stays deterministic
+        return [F.expr(p), *fifo_order()]
+
     def _partition_frontier(self, df: DataFrame) -> DataFrame:
         cfg = self.config
         # salted repartition on host-hash: hot domains spread over salt
@@ -342,7 +360,8 @@ class CrawlEngine:
         robots_blocked = blocked.count() if self._rules is not None else 0
 
         selected, deferred = budget_split(
-            allowed, cfg.politeness_k, cfg.salt_buckets
+            allowed, cfg.politeness_k, cfg.salt_buckets,
+            order=self._priority_order(),
         )
         if cfg.politeness_k is None:
             selected = allowed  # budget_split returned frontier unchanged

@@ -33,23 +33,28 @@ def budget_split(
     frontier: DataFrame,
     k: int | None,
     salt_buckets: int = 0,
+    order: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """→ (selected, deferred). ``k=None`` selects everything."""
+    """→ (selected, deferred). ``k=None`` selects everything. ``order``
+    is the priority-queue policy (default FIFO): the budget picks each
+    host's top-k BY THIS ORDER; everything else defers — which is exactly
+    a per-host priority queue drained k-at-a-time per generation."""
     if k is None:
         return frontier, frontier.limit(0)
+    order = order if order is not None else fifo_order()
 
     df = frontier
     if salt_buckets and salt_buckets > 1:
         pre = Window.partitionBy(
             "host", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
-        ).orderBy(*fifo_order())
+        ).orderBy(*order)
         df = (
             df.withColumn("_prn", F.row_number().over(pre))
             .where(F.col("_prn") <= k)
             .drop("_prn")
         )
 
-    w = Window.partitionBy("host").orderBy(*fifo_order())
+    w = Window.partitionBy("host").orderBy(*order)
     ranked = frontier.withColumn("_rn", F.row_number().over(w)) if not (
         salt_buckets and salt_buckets > 1
     ) else df.withColumn("_rn", F.row_number().over(w))

@@ -281,6 +281,35 @@ def test_resume_with_bloom_rebuild(spark, tmp_path):
     _check_equivalence(resumed, golden)
 
 
+def test_priority_policy_changes_schedule_not_seen_set(spark, tmp_path):
+    """north_rule priority queue: a custom priority reorders WHICH
+    generation each URL is fetched in under a budget, but the final
+    seen-set is priority-invariant (deferral preserves membership)."""
+    pages = {
+        "http://a.example/seed": (
+            '<a href="/zzzz-long-path">z</a><a href="/b">b</a>'
+        ),
+        "http://a.example/zzzz-long-path": "<p>z</p>",
+        "http://a.example/b": "<p>b</p>",
+    }
+    seeds = ["http://a.example/seed"]
+    # FIFO: gen-1 fetches the first-discovered link (/zzzz-long-path)
+    fifo_eng, _ = _run(spark, tmp_path / "fifo", pages, seeds,
+                       politeness_k=1, max_generations=50)
+    fifo_order_rows = [u for _, _, u in _order_rows(fifo_eng)]
+    assert fifo_order_rows[1] == "http://a.example/zzzz-long-path"
+    # priority = shortest url first: gen-1 fetches /b instead
+    pri_eng, _ = _run(spark, tmp_path / "pri", pages, seeds,
+                      politeness_k=1, max_generations=50,
+                      priority="length(url)")
+    pri_rows = {r["url"]: r["gen_fetched"]
+                for r in pri_eng.crawled().collect()}
+    assert pri_rows["http://a.example/b"] == 1
+    assert pri_rows["http://a.example/zzzz-long-path"] == 2
+    # seen-set identical under either policy
+    assert set(pri_rows) == set(fifo_order_rows)
+
+
 def test_sharded_bloom_matches_single_filter(spark):
     """bloom.py ShardedBloomFilter (the 10^10-key shape): B=4 shards built
     from the same keys must agree with the monolithic filter on every
