@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from owlfrontier import bloom as bloommod
 from owlfrontier.extract import extraction_udf
 from owlfrontier.politeness import budget_split, fifo_order
-from owlfrontier.robots import robots_udf
+from owlfrontier.robots import robots_rules_udf
 from owlfrontier.storage import resolve_store
 from owlfrontier.urlutil import HOST_REGEX, PATH_REGEX
 
@@ -61,6 +61,12 @@ class CrawlConfig:
     # changes WHICH generation a URL is fetched in, never WHETHER — the
     # seen-set is priority-invariant (deferral preserves membership).
     priority: str = "fifo"
+    # Crawl-delay → budget conversion unit: the reference's politeness is a
+    # fixed 5 s tick (fetcher.go:97-99) and the equivalence mapping is
+    # "k per host per generation ≈ k ticks", so a robots Crawl-delay of D
+    # seconds scales a host's budget to max(1, floor(k * 5 / D)), capped at
+    # k. Only applies when robots are enabled and a delay is declared.
+    crawl_delay_unit_sec: float = 5.0
     # "auto": on once crawled set is large; "sharded": host-sharded filter
     # (the 10^10-key deploy shape, bloom.py ShardedBloomFilter)
     use_bloom: bool | str = "auto"
@@ -250,10 +256,36 @@ class CrawlEngine:
         )
 
     def _build_rules(self, robots_df: DataFrame) -> DataFrame:
-        rules = robots_df.select(
-            "host", robots_udf()(F.col("robots_txt")).alias("disallows")
-        ).where(F.size("disallows") > 0)
-        return rules
+        parsed = robots_df.select(
+            "host", robots_rules_udf()(F.col("robots_txt")).alias("r")
+        ).select("host", "r.disallows", "r.crawl_delay")
+        return parsed.where(
+            (F.size("disallows") > 0) | F.col("crawl_delay").isNotNull()
+        )
+
+    def _host_budgets(self) -> DataFrame | None:
+        """(host, _k_host) for hosts whose robots Crawl-delay shrinks their
+        per-generation budget below politeness_k (broadcast side of the
+        budget window; hosts without a delay keep the global k)."""
+        cfg = self.config
+        if self._rules is None or cfg.politeness_k is None:
+            return None
+        k = cfg.politeness_k
+        kh = F.least(
+            F.lit(k),
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.lit(float(k) * cfg.crawl_delay_unit_sec)
+                    / F.col("crawl_delay")
+                ),
+            ),
+        ).cast("int")
+        return (
+            self._rules.where(F.col("crawl_delay").isNotNull())
+            .select("host", kh.alias("_k_host"))
+            .where(F.col("_k_host") < k)
+        )
 
     def _bloom_enabled(self) -> bool:
         cfg = self.config
@@ -336,8 +368,8 @@ class CrawlEngine:
                 F.when(path_part == "", "/").otherwise(path_part), d
             ),
         )
-        allowed = joined.where(~blocked_cond).drop("disallows")
-        blocked = joined.where(blocked_cond).drop("disallows")
+        allowed = joined.where(~blocked_cond).drop("disallows", "crawl_delay")
+        blocked = joined.where(blocked_cond).drop("disallows", "crawl_delay")
         return allowed, blocked
 
     def _generation(
@@ -362,6 +394,7 @@ class CrawlEngine:
         selected, deferred = budget_split(
             allowed, cfg.politeness_k, cfg.salt_buckets,
             order=self._priority_order(),
+            host_budgets=self._host_budgets(),
         )
         if cfg.politeness_k is None:
             selected = allowed  # budget_split returned frontier unchanged

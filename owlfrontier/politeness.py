@@ -34,11 +34,18 @@ def budget_split(
     k: int | None,
     salt_buckets: int = 0,
     order: list | None = None,
+    host_budgets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (selected, deferred). ``k=None`` selects everything. ``order``
     is the priority-queue policy (default FIFO): the budget picks each
     host's top-k BY THIS ORDER; everything else defers — which is exactly
-    a per-host priority queue drained k-at-a-time per generation."""
+    a per-host priority queue drained k-at-a-time per generation.
+
+    ``host_budgets`` ((host, _k_host) with _k_host ≤ k, e.g. from robots
+    Crawl-delay) shrinks individual hosts' budgets; it broadcast-joins
+    onto the ranked rows, and because every per-host budget is ≤ k the
+    salted pre-phase (which discards beyond k per (host, salt)) remains a
+    correct superset."""
     if k is None:
         return frontier, frontier.limit(0)
     order = order if order is not None else fifo_order()
@@ -58,7 +65,12 @@ def budget_split(
     ranked = frontier.withColumn("_rn", F.row_number().over(w)) if not (
         salt_buckets and salt_buckets > 1
     ) else df.withColumn("_rn", F.row_number().over(w))
-    selected = ranked.where(F.col("_rn") <= k).drop("_rn")
+    if host_budgets is not None:
+        ranked = ranked.join(F.broadcast(host_budgets), "host", "left")
+        k_eff = F.coalesce(F.col("_k_host"), F.lit(k))
+    else:
+        k_eff = F.lit(k)
+    selected = ranked.where(F.col("_rn") <= k_eff).drop("_rn", "_k_host")
 
     if salt_buckets and salt_buckets > 1:
         # deferred = frontier minus selected (pre-filtered rows are deferred
@@ -67,5 +79,5 @@ def budget_split(
             selected.select("url"), on="url", how="left_anti"
         )
     else:
-        deferred = ranked.where(F.col("_rn") > k).drop("_rn")
+        deferred = ranked.where(F.col("_rn") > k_eff).drop("_rn", "_k_host")
     return selected, deferred

@@ -5,7 +5,11 @@ robots.txt in its tree is the webapp's own static file,
 with the gate disabled, which is behaviorally identical to the reference.
 
 Semantics (deliberately minimal, per FIXTURES.md §1.3): ``User-agent`` groups
-with prefix ``Disallow`` rules only. The reference's user agent is
+with prefix ``Disallow`` rules, plus ``Crawl-delay`` (seconds) which maps
+onto the per-host politeness budget — the reference's fixed 5 s tick
+(``fetcher.go:97-99``) is the unit: a host demanding a 10 s delay gets half
+the per-generation budget (see ``crawler._host_budgets``). The reference's
+user agent is
 ``OwlCrawler - https://…`` (``/root/reference/fetcher.go:49``); a group
 matches if its UA token is ``*`` or a case-insensitive substring of that UA.
 A URL is blocked if any Disallow prefix of the best-matching group is a
@@ -19,14 +23,12 @@ from owlfrontier.urlutil import path_of
 USER_AGENT = "OwlCrawler - https://github.com/fmpwizard/owlcrawler"
 
 
-def parse_disallows(robots_txt: str, user_agent: str = USER_AGENT) -> list[str]:
-    """Return the Disallow prefixes applying to ``user_agent``.
-
-    Specific-UA groups win over ``*`` groups when both exist."""
-    ua_lower = user_agent.lower()
-    groups: list[tuple[list[str], list[str]]] = []  # (ua tokens, disallows)
+def _parse_groups(robots_txt: str):
+    """→ [(ua tokens, disallow prefixes, crawl_delay | None)]."""
+    groups: list[tuple[list[str], list[str], float | None]] = []
     cur_uas: list[str] = []
     cur_dis: list[str] = []
+    cur_delay: float | None = None
     in_group_body = False
     for raw in (robots_txt or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -37,8 +39,8 @@ def parse_disallows(robots_txt: str, user_agent: str = USER_AGENT) -> list[str]:
         value = value.strip()
         if field == "user-agent":
             if in_group_body:
-                groups.append((cur_uas, cur_dis))
-                cur_uas, cur_dis = [], []
+                groups.append((cur_uas, cur_dis, cur_delay))
+                cur_uas, cur_dis, cur_delay = [], [], None
                 in_group_body = False
             cur_uas.append(value.lower())
         elif field == "disallow":
@@ -46,22 +48,51 @@ def parse_disallows(robots_txt: str, user_agent: str = USER_AGENT) -> list[str]:
             if value:
                 cur_dis.append(value)
             # empty Disallow: allows all — group exists but adds no prefix
+        elif field == "crawl-delay":
+            in_group_body = True
+            try:
+                cur_delay = float(value)
+            except ValueError:
+                pass  # malformed delay: ignored, like unknown fields
     if cur_uas:
-        groups.append((cur_uas, cur_dis))
+        groups.append((cur_uas, cur_dis, cur_delay))
+    return groups
 
-    specific: list[str] | None = None
-    wildcard: list[str] | None = None
-    for uas, dis in groups:
+
+def _select_group(groups, user_agent: str):
+    """Specific-UA groups win over ``*`` groups when both exist."""
+    ua_lower = user_agent.lower()
+    specific: tuple[list[str], float | None] | None = None
+    wildcard: tuple[list[str], float | None] | None = None
+    for uas, dis, delay in groups:
         for ua in uas:
             if ua == "*":
-                wildcard = dis if wildcard is None else wildcard + dis
+                wildcard = (
+                    (dis, delay) if wildcard is None
+                    else (wildcard[0] + dis, wildcard[1] if wildcard[1] is not None else delay)
+                )
             elif ua and ua in ua_lower:
-                specific = dis if specific is None else specific + dis
+                specific = (
+                    (dis, delay) if specific is None
+                    else (specific[0] + dis, specific[1] if specific[1] is not None else delay)
+                )
     if specific is not None:
         return specific
     if wildcard is not None:
         return wildcard
-    return []
+    return ([], None)
+
+
+def parse_disallows(robots_txt: str, user_agent: str = USER_AGENT) -> list[str]:
+    """Return the Disallow prefixes applying to ``user_agent``."""
+    return _select_group(_parse_groups(robots_txt), user_agent)[0]
+
+
+def parse_crawl_delay(
+    robots_txt: str, user_agent: str = USER_AGENT
+) -> float | None:
+    """Crawl-delay seconds for ``user_agent`` (None if unspecified)."""
+    return _select_group(_parse_groups(robots_txt), user_agent)[1]
 
 
 def is_allowed(url: str, disallows: list[str]) -> bool:
@@ -85,3 +116,24 @@ def robots_udf():
 
     _parse.__annotations__ = {"txt": pd.Series, "return": pd.Series}
     return pandas_udf("array<string>")(_parse)
+
+
+def robots_rules_udf():
+    """Vectorized pandas UDF: robots_txt STRING →
+    STRUCT<disallows: ARRAY<STRING>, crawl_delay: DOUBLE>. One parse per
+    host row covers both the gate and the politeness budget."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _parse(txt: "pd.Series") -> "pd.DataFrame":
+        rows = [
+            _select_group(_parse_groups(t or ""), USER_AGENT)
+            for t in txt.tolist()
+        ]
+        return pd.DataFrame(
+            {"disallows": [r[0] for r in rows],
+             "crawl_delay": [r[1] for r in rows]}
+        )
+
+    _parse.__annotations__ = {"txt": pd.Series, "return": pd.DataFrame}
+    return pandas_udf("disallows array<string>, crawl_delay double")(_parse)

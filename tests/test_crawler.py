@@ -281,6 +281,40 @@ def test_resume_with_bloom_rebuild(spark, tmp_path):
     _check_equivalence(resumed, golden)
 
 
+def test_crawl_delay_shrinks_host_budget(spark, tmp_path):
+    """robots Crawl-delay maps onto the politeness budget: with k=2 and a
+    10 s delay (unit 5 s) host a gets 1 fetch/generation while host b
+    keeps 2; the seen-set is unaffected (deferral, not exclusion)."""
+    pages = {
+        "http://a.example/r": ('<a href="/1">1</a><a href="/2">2</a>'
+                               '<a href="/3">3</a>'),
+        "http://a.example/1": "<p>1</p>",
+        "http://a.example/2": "<p>2</p>",
+        "http://a.example/3": "<p>3</p>",
+        "http://b.example/r": '<a href="/1">1</a><a href="/2">2</a>',
+        "http://b.example/1": "<p>1</p>",
+        "http://b.example/2": "<p>2</p>",
+    }
+    seeds = ["http://a.example/r", "http://b.example/r"]
+    robots_rows = [("a.example", "User-agent: *\nCrawl-delay: 10\n")]
+    engine, summary = _run(
+        spark, tmp_path, pages, seeds, robots_rows=robots_rows,
+        robots_enabled=True, politeness_k=2, max_generations=50,
+    )
+    assert summary["crawled"] == 7  # nothing excluded, only deferred
+    per_gen_host: dict = {}
+    for r in engine.crawled().collect():
+        key = (r["gen_fetched"], r["host"])
+        per_gen_host[key] = per_gen_host.get(key, 0) + 1
+    for (gen, host), n in per_gen_host.items():
+        cap = 1 if host == "a.example" else 2
+        assert n <= cap, (gen, host, n)
+    # the delayed host actually needed more generations than the free one
+    a_gens = max(g for (g, h) in per_gen_host if h == "a.example")
+    b_gens = max(g for (g, h) in per_gen_host if h == "b.example")
+    assert a_gens > b_gens
+
+
 def test_priority_policy_changes_schedule_not_seen_set(spark, tmp_path):
     """north_rule priority queue: a custom priority reorders WHICH
     generation each URL is fetched in under a budget, but the final

@@ -31,6 +31,21 @@ def test_parse_disallows_empty_and_malformed():
     assert parse_disallows("garbage line\nUser-agent: *\nDisallow: /a") == ["/a"]
 
 
+def test_parse_crawl_delay():
+    from owlfrontier.robots import parse_crawl_delay
+
+    txt = "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"
+    assert parse_crawl_delay(txt) == 10.0
+    # specific group wins; its (absent) delay is None, not the wildcard's
+    txt2 = ("User-agent: owlcrawler\nDisallow: /a\n\n"
+            "User-agent: *\nCrawl-delay: 7\n")
+    assert parse_crawl_delay(txt2) is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: nope\n") is None
+    assert parse_crawl_delay("") is None
+    # fractional delays parse
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 2.5\n") == 2.5
+
+
 def test_is_allowed_prefix_semantics():
     dis = ["/private", "/a/b"]
     assert not is_allowed("http://h/private/x", dis)
