@@ -336,6 +336,22 @@ def _script_escaped_dash_dash(s, sl, i, ESCAPED, DOUBLE):
     return i + 1, ESCAPED
 
 
+def _script_double_dash_dash(s, sl, i):
+    """scriptDataDoubleEscapedDashDash: consume '-'*, then '>' → script
+    DATA, else (including '<') → back to DOUBLE with the char left for the
+    caller's loop to handle (matching x/net/html's goto targets: '<' goes
+    to doubleEscapedLessThanSign — the DOUBLE loop's '<' branch — and any
+    other char is consumed by doubleEscaped — the DOUBLE loop's else)."""
+    n = len(s)
+    while i < n and s[i] == "-":
+        i += 1
+    if i >= n:
+        return i, 2  # DOUBLE; the caller's loop exits on i >= n
+    if s[i] == ">":
+        return i + 1, 0  # DATA
+    return i, 2
+
+
 def _script_escaped_lt(s, sl, i, ESCAPED, DOUBLE):
     """scriptDataEscapedLessThanSign at s[i]=='<'.
 

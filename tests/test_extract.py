@@ -287,6 +287,30 @@ def test_eof_right_after_end_tag_open():
     assert extract_page("abc</a", "http://x/")["text"] == ["abc"]
 
 
+def test_script_double_escaped_states():
+    """HTML5 script-data DOUBLE-escaped states (x/net/html readScript):
+    found by fuzzing — the doubleEscapedDashDash state was unimplemented
+    and crashed on '<script><!--<script>…--' payloads."""
+    # '-->' inside double-escape returns to script DATA → first </script>
+    # terminates; following text is ordinary
+    assert extract_page("<script><!--<script>--></script>x",
+                        "http://h/")["text"] == ["x"]
+    # '</script>' inside double-escape only drops back to ESCAPED; '-->'
+    # then exits to DATA and the next </script> ends the element
+    assert extract_page("<script><!--<script></script>-->z</script>w",
+                        "http://h/")["text"] == ["w"]
+    # without '-->', the outer element continues past the inner </script>
+    assert extract_page("<script><!--<script>a</script>b--></script>tail",
+                        "http://h/")["text"] == ["tail"]
+    # original crash shapes must not raise
+    for payload in (
+        "<script>=B<!--<script>T<title>--!></script>#c",
+        "<script><!--<script>d--",
+        "<script><!--<script>-",
+    ):
+        page_structure_json(extract_page(payload, "http://h/")).encode()
+
+
 def test_numeric_entity_quirks():
     assert unescape("&#x80;", False) == "€"  # C1 → windows-1252
     assert unescape("&#0;", False) == "�"

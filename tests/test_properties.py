@@ -82,7 +82,11 @@ _html_alphabet = (
 
 @given(
     st.text(alphabet=_html_alphabet, max_size=300),
-    st.sampled_from(["", "<", "</", "</a", "<a", "<!", "<!-", "<!--", "<a href"]),
+    st.sampled_from([
+        "", "<", "</", "</a", "<a", "<!", "<!-", "<!--", "<a href",
+        "<script>", "<script><!--", "<script><!--<script>",
+        "<script><!--<script>--", "<title>", "&#x1",
+    ]),
 )
 @settings(max_examples=300, deadline=None)
 def test_tokenizer_never_crashes_and_output_serializes(payload, suffix):
