@@ -83,6 +83,14 @@ def main(argv: list[str]) -> int:
         ),
     )
     if args.resume:
+        if args.seeds:
+            # live seeding (webapp /add-site analogue): inject into the
+            # pending frontier, then continue the crawl
+            if args.seeds.endswith(".json"):
+                with open(args.seeds) as f:
+                    engine.add_seeds(json.load(f))
+            else:
+                engine.add_seeds(spark.read.parquet(args.seeds))
         summary = engine.run(resume=True)
     else:
         if not args.seeds:

@@ -189,6 +189,60 @@ class CrawlEngine:
             g += 1
         return self._summary(crawled_gens, metrics)
 
+    def add_seeds(self, seeds: list[str] | DataFrame) -> int:
+        """Inject newly submitted seeds into the pending frontier — the
+        reference's live seeding surface (``/add-site`` stores the site doc
+        and publishes the URL onto the running fetch queue,
+        webapp/main.go:157-196). Called between ``run()`` calls (the
+        generation barrier is the deterministic injection point): new URLs
+        dedup against everything crawled, first-wins-merge with the pending
+        frontier, and the manifest is re-committed — a finished crawl
+        (empty frontier) wakes back up if the seeds bring new URLs.
+        Returns the pending frontier size; continue with ``run(resume=True)``.
+        """
+        manifest = self.store.read_manifest()
+        if manifest is None:
+            raise ValueError(
+                "add_seeds needs a committed crawl; start with run(seeds=…)"
+            )
+        g = manifest["generation"]
+        crawled_gens = list(manifest["crawled_generations"])
+        new = self._seed_frontier(seeds)
+        # namespace injected seq by generation: paths stay globally unique
+        # (deterministic crawl_order) and later submissions sort after
+        # earlier ones among the size-1 paths — the FIFO-append analogue
+        offset = (g + 1) * (1 << 40)
+        new = new.withColumn(
+            "path",
+            F.expr(f"array(element_at(path, 1) + cast({offset} as bigint))"),
+        )
+        crawled = self.store.read_crawled(crawled_gens)
+        if crawled is not None:
+            new = new.join(crawled.select("url"), "url", "left_anti")
+        if not manifest["frontier_empty"]:
+            pool = self.store.read_gen("frontier", g + 1).unionByName(new)
+            w = Window.partitionBy("url").orderBy(*fifo_order())
+            pool = (
+                pool.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            pool = new
+        # stage-then-replace: the pool plan READS frontier gen g+1, so a
+        # direct overwrite of that directory would overwrite its own input
+        # (Iceberg's snapshot isolation makes this safe there; the staging
+        # hop keeps the parquet backend correct too)
+        self.store.write_gen(
+            self._partition_frontier(pool), "frontier_stage", g + 1
+        )
+        staged = self.store.read_gen("frontier_stage", g + 1)
+        self.store.write_gen(staged, "frontier", g + 1)
+        self.store.drop_uncommitted("frontier_stage", [])
+        n = self.store.read_gen("frontier", g + 1).count()
+        self.store.commit(g, self.store.read_metrics(), n == 0, crawled_gens)
+        return n
+
     def crawled(self) -> DataFrame | None:
         manifest = self.store.read_manifest()
         gens = manifest["crawled_generations"] if manifest else []
@@ -259,9 +313,11 @@ class CrawlEngine:
         parsed = robots_df.select(
             "host", robots_rules_udf()(F.col("robots_txt")).alias("r")
         ).select("host", "r.disallows", "r.crawl_delay")
+        # per-host rows, broadcast-joined every generation (gate + budget):
+        # persist so the robots parse runs once, not once per action
         return parsed.where(
             (F.size("disallows") > 0) | F.col("crawl_delay").isNotNull()
-        )
+        ).persist()
 
     def _host_budgets(self) -> DataFrame | None:
         """(host, _k_host) for hosts whose robots Crawl-delay shrinks their

@@ -281,6 +281,41 @@ def test_resume_with_bloom_rebuild(spark, tmp_path):
     _check_equivalence(resumed, golden)
 
 
+def test_add_seeds_mid_crawl_and_after_completion(spark, tmp_path):
+    """The reference's live /add-site surface (webapp/main.go:157-196):
+    seeds injected at the generation barrier join the pending frontier
+    (dedup against crawled, first-wins), and a FINISHED crawl wakes back
+    up when new seeds arrive."""
+    pages = {
+        "http://a.example/r": '<a href="/x">x</a>',
+        "http://a.example/x": "<p>x</p>",
+        "http://b.example/r": '<a href="/y">y</a>',
+        "http://b.example/y": "<p>y</p>",
+    }
+    engine, _ = _run(spark, tmp_path, pages, ["http://a.example/r"])
+    assert {r["url"] for r in engine.crawled().collect()} == {
+        "http://a.example/r", "http://a.example/x"
+    }
+    # crawl finished (frontier empty) — inject a new site, resume
+    n = engine.add_seeds(["http://b.example/r", "http://a.example/r"])
+    assert n == 1  # a.example/r already crawled: deduped out
+    summary = engine.run(resume=True)
+    got = {r["url"] for r in engine.crawled().collect()}
+    assert got == set(pages)
+    assert summary["crawled"] == 4  # summary spans the whole crawl's metrics
+
+    # mid-crawl injection: stop after gen 0, inject, resume
+    eng2, _ = _run(spark, tmp_path / "mid", pages,
+                   ["http://a.example/r"], max_generations=1)
+    assert eng2.add_seeds(["http://b.example/r"]) == 2  # pending /x + new
+    eng2.config.max_generations = 100
+    eng2.run(resume=True)
+    assert {r["url"] for r in eng2.crawled().collect()} == set(pages)
+    # injected paths are namespaced: crawl_order stays fully deterministic
+    seqs = [r["seq"] for r in eng2.crawl_order().collect()]
+    assert sorted(seqs) == list(range(len(pages)))
+
+
 def test_crawl_delay_shrinks_host_budget(spark, tmp_path):
     """robots Crawl-delay maps onto the politeness budget: with k=2 and a
     10 s delay (unit 5 s) host a gets 1 fetch/generation while host b
