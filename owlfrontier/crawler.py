@@ -521,11 +521,17 @@ class CrawlEngine:
         timings = {"crawled_write": round(time.time() - t, 2)}
         crawled_g = self.store.read_gen("crawled", g)
         t = time.time()
-        counts = crawled_g.agg(
-            F.count(F.lit(1)).alias("fetched"),
-            F.count("parsed_on").alias("parsed"),
-        ).first()
-        fetched_count, parsed_count = counts["fetched"], counts["parsed"]
+        if cfg.light_metrics:
+            # metadata-only count (parquet footers); the parsed count would
+            # scan the parsed_on column — informational, skipped in light
+            # mode (one fewer driver-barrier job per generation)
+            fetched_count, parsed_count = crawled_g.count(), None
+        else:
+            counts = crawled_g.agg(
+                F.count(F.lit(1)).alias("fetched"),
+                F.count("parsed_on").alias("parsed"),
+            ).first()
+            fetched_count, parsed_count = counts["fetched"], counts["parsed"]
         timings["agg"] = round(time.time() - t, 2)
 
         # O13: frontier expansion — posexplode preserves document order

@@ -33,6 +33,7 @@ and is replaced by U+FFFD only at JSON-serialization time, matching Go's
 from __future__ import annotations
 
 import html.entities
+import re
 
 # --- token types -------------------------------------------------------------
 TEXT = 0
@@ -62,14 +63,15 @@ GO_WHITESPACE = frozenset(
 )
 
 
+_GO_WS_CHARS = "".join(sorted(GO_WHITESPACE))
+
+
 def go_trim_space(s: str) -> str:
-    """Go strings.TrimSpace — trim Unicode White_Space only."""
-    start, end = 0, len(s)
-    while start < end and s[start] in GO_WHITESPACE:
-        start += 1
-    while end > start and s[end - 1] in GO_WHITESPACE:
-        end -= 1
-    return s[start:end]
+    """Go strings.TrimSpace — trim Unicode White_Space only.
+
+    ``str.strip(chars)`` strips exactly the characters in ``chars`` from
+    both ends (C-speed), which is the same operation as Go's rune-set trim."""
+    return s.strip(_GO_WS_CHARS)
 
 
 # --- character references (x/net/html entity.go unescapeEntity) --------------
@@ -667,27 +669,36 @@ _JSON_ESCAPE = {
 }
 
 
+# every code point Go's encoder does not copy verbatim: the two JSON
+# metachars, all C0 controls (\n \r \t have short escapes, the rest \u00xx),
+# the escapeHTML set, U+2028/29, and lone surrogates (invalid UTF-8 markers)
+_JSON_SPECIAL = re.compile(
+    '["\\\\<>&\x00-\x1f\u2028\u2029\ud800-\udfff]'
+)
+
+
+def _json_escape_char(m: "re.Match[str]") -> str:
+    ch = m.group()
+    esc = _JSON_ESCAPE.get(ch)
+    if esc is not None:
+        return esc
+    o = ord(ch)
+    if o < 0x20:
+        return f"\\u{o:04x}"
+    return "�"  # lone surrogate
+
+
 def go_json_string(s: str) -> str:
     """Go json.Marshal string escaping (escapeHTML=true default).
 
     Lone surrogates (from surrogateescape decoding of invalid UTF-8) become
     one U+FFFD each — Go replaces each invalid byte with U+FFFD at marshal
-    time (encoding/json encodeState.string)."""
-    out = ['"']
-    for ch in s:
-        esc = _JSON_ESCAPE.get(ch)
-        if esc is not None:
-            out.append(esc)
-            continue
-        o = ord(ch)
-        if o < 0x20:
-            out.append(f"\\u{o:04x}")
-        elif 0xD800 <= o <= 0xDFFF:
-            out.append("�")
-        else:
-            out.append(ch)
-    out.append('"')
-    return "".join(out)
+    time (encoding/json encodeState.string). Fast path: clean strings (the
+    overwhelming majority of extracted lines) are copied whole; the regex
+    visits only the characters that need escaping."""
+    if _JSON_SPECIAL.search(s) is None:
+        return f'"{s}"'
+    return f'"{_JSON_SPECIAL.sub(_json_escape_char, s)}"'
 
 
 def sanitize_utf8(s: str) -> str:

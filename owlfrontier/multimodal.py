@@ -7,13 +7,15 @@ same shape. Everything Spark-side here is real and tested — schemas,
 Arrow batch flow through ``mapInPandas``, partition-preserving transforms,
 deterministic content fingerprints.
 
-Codecs: uncompressed BMP (24/32-bit BI_RGB) and PCM WAV decode for REAL
-using only the stdlib + numpy — one genuine byte→array path per modality,
-pytest-covered. Compressed formats (JPEG/PNG/MP3/...) remain STUBBED: those
-codec libraries are not in this container, so for them
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic content-derived fake
-(stable across runs, good enough to exercise every downstream operator).
+Codecs: uncompressed BMP (24/32-bit BI_RGB), PNG (8-bit gray/RGB/RGBA/
+palette, all five scanline filters, non-interlaced) and PCM WAV decode for
+REAL using only the stdlib (zlib/struct/wave) + numpy — genuine byte→array
+paths per modality, pytest-covered. Remaining compressed formats
+(JPEG/MP3/...) stay STUBBED: those codec libraries are not in this
+container, so for them ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic content-derived fake (stable across runs, good enough to
+exercise every downstream operator).
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -84,21 +87,142 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL stdlib-only PNG decode (zlib inflate + scanline unfiltering)
+    to an HxWx3 uint8 RGB array.
+
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), filters 0-4, non-interlaced. Alpha is
+    dropped (training-feature pipelines key on color content); gray
+    replicates to 3 channels."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    color_type = bit_depth = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced PNG (depth {bit_depth}, "
+            f"interlace {interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG image data")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intp)
+    bpp = channels
+    for y in range(height):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_off + 1
+        ).astype(np.intp)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub: per-lane cumulative sum mod 256
+            recon = line.copy()
+            for lane in range(bpp):
+                recon[lane::bpp] = np.cumsum(recon[lane::bpp]) % 256
+        elif ftype == 2:  # Up
+            recon = (line + prev) % 256
+        elif ftype in (3, 4):  # Average / Paeth: left-dependent, scalar
+            recon = np.zeros(stride, dtype=np.intp)
+            for i in range(stride):
+                a = recon[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 3:
+                    recon[i] = (line[i] + (a + b) // 2) % 256
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    recon[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon.astype(np.intp)
+    px = out.reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return np.ascontiguousarray(palette[px[:, :, 0]])
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray+alpha -> replicate gray
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA -> RGB
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal 8-bit RGB PNG writer (filter 0 scanlines; round-trip partner
+    of :func:`decode_png`, also handy for building test payloads)."""
+    h, w = img.shape[:2]
+    rgb = img[:, :, :3].astype(np.uint8)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    Uncompressed BMP decodes for REAL (stdlib struct + numpy). Compressed
-    formats need codec libraries not present in this container: for those,
-    ``fake=True`` produces a deterministic 8x8x3 array derived from the
-    payload digest — stable, collision-resistant, and shaped like the real
-    thing for downstream plumbing."""
+    Uncompressed BMP and PNG decode for REAL (stdlib struct/zlib + numpy).
+    Other compressed formats need codec libraries not present in this
+    container: for those, ``fake=True`` produces a deterministic 8x8x3
+    array derived from the payload digest — stable, collision-resistant,
+    and shaped like the real thing for downstream plumbing."""
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload and payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            "only uncompressed BMP decodes natively; other image codecs are "
-            "not available in this environment — pass fake=True for the "
-            "deterministic stand-in"
+            "only uncompressed BMP and PNG decode natively; other image "
+            "codecs are not available in this environment — pass fake=True "
+            "for the deterministic stand-in"
         )
     digest = hashlib.sha256(payload or b"").digest()
     rng = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)

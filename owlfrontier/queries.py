@@ -899,13 +899,18 @@ def q_search_highlights(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column pipeline as a checked query (rows-only:
-    image decode is not SQL-expressible): deterministic BMP payloads
-    derived per doc_id, decoded for REAL by the stdlib BMP codec inside
-    the ``mapInPandas`` feature pipeline (multimodal.py) — the byte →
-    array → feature dataflow a media corpus runs at scale."""
+    image decode is not SQL-expressible): deterministic payloads derived
+    per doc_id — BMP for even ids, PNG for odd ids — decoded for REAL by
+    the stdlib codecs inside the ``mapInPandas`` feature pipeline
+    (multimodal.py), exercising a mixed-format media column the way a real
+    crawl store carries one."""
     import hashlib as _hl
 
-    from owlfrontier.multimodal import encode_bmp, image_feature_pipeline
+    from owlfrontier.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_feature_pipeline,
+    )
 
     docs = _spread(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("bigint").alias("media_id")
@@ -922,7 +927,8 @@ def q_multimodal_features(spark, sf_dir):
                 img = np.frombuffer(
                     (digest * 6)[: 8 * 8 * 3], dtype=np.uint8
                 ).reshape(8, 8, 3)
-                payloads.append(encode_bmp(img))
+                enc = encode_bmp if int(mid) % 2 == 0 else encode_png
+                payloads.append(enc(img))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )

@@ -85,6 +85,32 @@ def test_bfs_order_synthetic_site(spark, tmp_path):
     assert summary["crawled"] == len(golden.url_seen)
 
 
+def test_light_metrics_identical_crawl(spark, tmp_path):
+    """Bench mode (light_metrics=True) must change ONLY which informational
+    counts are collected — crawl order, seen-set, and extracted bytes stay
+    identical; metrics keep exact fetched/next_frontier counts with the
+    informational ones recorded as None."""
+    rows, seeds = gen_site(n_pages=50, n_hosts=4, seed=7)
+    golden = simulate_generations(pages_map(rows), seeds)
+    engine, summary = _run(
+        spark, tmp_path, pages_df(spark, rows), seeds, light_metrics=True
+    )
+    assert _order_rows(engine) == golden.crawl_order
+    crawled = {r["url"]: r for r in engine.crawled().collect()}
+    assert set(crawled) == golden.url_seen
+    for url, text_json in golden.extracted.items():
+        assert crawled[url]["text_json"] == text_json, url
+    assert summary["crawled"] == len(golden.url_seen)
+    # the exact counts light mode keeps still match the simulator; the
+    # informational ones (each a separate count job) are skipped as None
+    for m, s in zip(engine.metrics(), golden.metrics):
+        assert m["fetched"] == s["fetched"]
+        assert m["next_frontier"] == s["next_frontier"]
+        assert m["parsed"] is None  # skipped column-scan job (bench mode)
+        assert m["eligible"] is None and m["selected"] is None
+        assert m["frontier_partition_hist"] is None
+
+
 def test_politeness_budget_k2(spark, tmp_path):
     rows, seeds = gen_site(n_pages=24, n_hosts=3, seed=11)
     pages = pages_map(rows)

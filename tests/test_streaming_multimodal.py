@@ -208,6 +208,99 @@ def test_decode_stub_raises_without_fake():
         decode_image(b"\xff\xd8\xff")
 
 
+def test_png_decode_real():
+    """fake=False path: PNG decodes for real (stdlib zlib + numpy) across
+    every scanline filter and the common color types."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from owlfrontier.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    payload = encode_png(img)
+    assert (decode_png(payload) == img).all()
+    assert (decode_image(payload, fake=False) == img).all()  # dispatch
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    def build(w, h, ct, raw, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # reference unfilter (independent scalar implementation of the spec)
+    def ref_unfilter(raw, h, w, ch):
+        stride = w * ch
+        out = np.zeros((h, stride), dtype=np.int64)
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            line = np.frombuffer(
+                raw, np.uint8, stride, y * (stride + 1) + 1
+            ).astype(np.int64)
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                rec[i] = (line[i] + pred) % 256
+            out[y] = rec
+            prev = rec
+        return out.astype(np.uint8).reshape(h, w, ch)
+
+    w, h = 7, 5
+    rawpix = rng.randint(0, 256, (h, w * 4), dtype=np.uint8)
+    # RGB rows covering all five filter types
+    filters = [0, 1, 2, 3, 4]
+    raw = b"".join(
+        bytes([filters[y]]) + rawpix[y][: w * 3].tobytes() for y in range(h)
+    )
+    assert (decode_png(build(w, h, 2, raw))
+            == ref_unfilter(raw, h, w, 3)).all()
+    # grayscale replicates to 3 channels
+    graw = b"".join(b"\x01" + rawpix[y][:w].tobytes() for y in range(h))
+    assert (decode_png(build(w, h, 0, graw))
+            == np.repeat(ref_unfilter(graw, h, w, 1), 3, axis=2)).all()
+    # palette indexes PLTE
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    praw = b"".join(b"\x00" + rawpix[y][:w].tobytes() for y in range(h))
+    assert (decode_png(build(w, h, 3, praw,
+                             extra=chunk(b"PLTE", pal.tobytes())))
+            == pal[rawpix[:, :w]]).all()
+    # RGBA drops alpha
+    araw = b"".join(bytes([y % 5]) + rawpix[y].tobytes() for y in range(h))
+    assert (decode_png(build(w, h, 6, araw))
+            == ref_unfilter(araw, h, w, 4)[:, :, :3]).all()
+    # corrupt payloads fail loudly
+    with pytest.raises(ValueError):
+        decode_png(b"nope")
+    with pytest.raises(ValueError):
+        decode_png(_PNG_SIG + b"\x00\x00\x00\x04")
+
+
 def test_fake_decode_deterministic_and_resize():
     a = decode_image(b"payload", fake=True)
     b = decode_image(b"payload", fake=True)
