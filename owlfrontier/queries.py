@@ -384,6 +384,79 @@ FROM bands a JOIN bands b
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING — the end-to-end dedup decision the pair list
+    feeds (keep one representative per cluster): connected components over
+    the MinHash-LSH candidate graph by min-label propagation. Every doc's
+    cluster_id = the smallest doc_id in its component; singletons label
+    themselves.
+
+    Scale shape: each round is one equi-join of the edge list with the
+    current labels plus a groupBy-min — |E| rows through one shuffle, no
+    row multiplication — and rounds converge in graph-diameter steps
+    (near-dup components are clique/star-like, diameter ≲ 3; an
+    adversarial long-chain graph would call for the alternating
+    large-star/small-star contraction [Kiveris et al., "Connected
+    Components in MapReduce", 2014] to bound rounds at O(log² n)).
+    Lineage is truncated per round with localCheckpoint — the same
+    constant-size-plan pattern as the crawl generation loop — and
+    convergence is detected by the label sum (strictly decreasing while
+    any label changes; one scalar agg per round, no extra join)."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    # decimal sum: overflow-proof change detector (monotone decreasing)
+    prev_sum = labels.agg(
+        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(100):
+        nbr = edges.join(
+            labels, edges["dst"] == labels["doc_id"]
+        ).groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
+        labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+reach(root, node) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT root AS doc_id, min(node)::BIGINT AS cluster_id
+FROM reach GROUP BY root
+"""
+
+
 _SIMHASH_BITS = 32
 
 
@@ -507,17 +580,11 @@ SELECT a_id, b_id, hamming FROM cand WHERE hamming <= {_HAMMING_MAX}
 _IVF_K = 8
 
 
-def q_ann_ivf_assign(spark, sf_dir):
-    """IVF coarse quantization (the other ANN scale path besides LSH):
-    assign every vector to its nearest of K centroids by integer-quantized
-    squared-L2 — at search time only the probed centroid's inverted list
-    is scanned. The codebook here is the first K vectors (a deterministic
-    stand-in for a k-means codebook — training is out of scope; the
-    ASSIGN/probe dataflow is the Spark-side artifact). Scale shape: the
-    K×dim codebook is collected once and embedded as a literal (the
-    broadcast-codebook pattern); assignment is a per-row argmin fold —
-    zero shuffle, zero row multiplication."""
-    e = _emb(spark, sf_dir)
+def _ivf_cent_sql(e: DataFrame) -> str:
+    """Collect the K×dim integer-quantized codebook (first K vectors — a
+    deterministic stand-in for a trained k-means codebook) and render it as
+    one Spark SQL array literal: the broadcast-codebook pattern shared by
+    the IVF assign and search queries."""
     cents = (
         e.where(F.col("vec_id") < _IVF_K)
         .orderBy("vec_id")
@@ -530,7 +597,7 @@ def q_ann_ivf_assign(spark, sf_dir):
         )
         .collect()
     )
-    cent_sql = (
+    return (
         "array("
         + ",".join(
             "array(" + ",".join(f"{v}L" for v in row["ci"]) + ")"
@@ -538,6 +605,20 @@ def q_ann_ivf_assign(spark, sf_dir):
         )
         + ")"
     )
+
+
+def q_ann_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization (the other ANN scale path besides LSH):
+    assign every vector to its nearest of K centroids by integer-quantized
+    squared-L2 — at search time only the probed centroid's inverted list
+    is scanned. The codebook here is the first K vectors (a deterministic
+    stand-in for a k-means codebook — training is out of scope; the
+    ASSIGN/probe dataflow is the Spark-side artifact). Scale shape: the
+    K×dim codebook is collected once and embedded as a literal (the
+    broadcast-codebook pattern); assignment is a per-row argmin fold —
+    zero shuffle, zero row multiplication."""
+    e = _emb(spark, sf_dir)
+    cent_sql = _ivf_cent_sql(e)
     quant = _spread(e).select(
         "vec_id",
         F.expr(
@@ -574,6 +655,107 @@ d AS (SELECT q.vec_id, c.cid,
 SELECT vec_id, cid AS centroid, dist2
 FROM d
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
+"""
+
+
+_IVF_NPROBE = 2
+_IVF_TOPK = 5
+_IVF_NQUERIES = 5
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF search — completes the ANN IVF path (q_ann_ivf_assign is the
+    build side): each query probes its _IVF_NPROBE nearest centroids and
+    ranks exact cosine ONLY over those centroids' inverted lists, never
+    the full corpus. Scale shape: assignment and probe selection are
+    per-row array folds over the broadcast codebook literal (zero
+    shuffle); the probe→candidate step is an equi-join on centroid id
+    with the tiny probe side broadcast, so the corpus is scanned once and
+    only 1/K·nprobe of it reaches the ranking window — vs the bruteforce
+    baseline's full crossJoin."""
+    e = _emb(spark, sf_dir)
+    cent_sql = _ivf_cent_sql(e)
+    quant = _spread(e).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(round(cast(x as double) * 1000000.0D) as bigint))"
+        ).alias("xi"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    dists = (
+        f"transform({cent_sql}, c -> aggregate("
+        f"zip_with(xi, c, (a, b) -> (a - b) * (a - b)), "
+        f"cast(0 as bigint), (acc, t) -> acc + t))"
+    )
+    assign = (
+        f"cast(array_position({dists}, array_min({dists})) - 1 as bigint)"
+    )
+    inv = quant.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(assign).alias("cid"),
+        F.col("v").alias("nv"),
+    )
+    # nprobe nearest centroids per query: sort (dist2, cid) structs — the
+    # same tiebreak as the assign — and slice the head
+    probes = (
+        quant.where(F.col("vec_id") < _IVF_NQUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.expr(
+                f"slice(array_sort(zip_with({dists}, "
+                f"sequence(0, {_IVF_K - 1}), "
+                f"(d, i) -> struct(d AS d, cast(i as bigint) AS cid))), "
+                f"1, {_IVF_NPROBE})"
+            ).alias("probe"),
+        )
+        .select("query_id", "qv", F.explode("probe").alias("p"))
+        .select("query_id", "qv", F.col("p.cid").alias("cid"))
+    )
+    dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    qn = "sqrt(aggregate(transform(qv, x -> x * x), 0D, (a, x) -> a + x))"
+    nn = "sqrt(aggregate(transform(nv, x -> x * x), 0D, (a, x) -> a + x))"
+    scored = F.broadcast(probes).join(inv, "cid").select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"({dot}) / ({qn} * {nn})").alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH q AS (SELECT vec_id,
+                  [round(x::DOUBLE * 1e6)::BIGINT for x in embedding] AS xi,
+                  embedding::DOUBLE[] AS v
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, xi AS ci FROM q WHERE vec_id < {_IVF_K}),
+d AS (SELECT q.vec_id, c.cid,
+             list_sum([(q.xi[i] - c.ci[i]) * (q.xi[i] - c.ci[i])
+                       for i in generate_series(1, len(q.xi))])::BIGINT AS dist2
+      FROM q CROSS JOIN c),
+assign AS (SELECT vec_id AS neighbor_id, cid FROM d
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, cid) = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM d
+           WHERE vec_id < {_IVF_NQUERIES}
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, cid) <= {_IVF_NPROBE}),
+s AS (SELECT p.query_id, a.neighbor_id,
+             list_cosine_similarity(qe.v, ne.v) AS cos
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid
+      JOIN q qe ON qe.vec_id = p.query_id
+      JOIN q ne ON ne.vec_id = a.neighbor_id)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id)::BIGINT AS rnk
+FROM s QUALIFY rnk <= {_IVF_TOPK}
 """
 
 
@@ -1061,11 +1243,13 @@ QUERIES = {
     "neardup_jaccard": q_neardup_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "order_seq": q_order_seq,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -1092,11 +1276,13 @@ ORACLE = {
     "neardup_jaccard": SQL_NEARDUP_JACCARD,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_ivf_assign": SQL_ANN_IVF_ASSIGN,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "order_seq": SQL_ORDER_SEQ,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,

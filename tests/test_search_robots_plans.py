@@ -215,6 +215,47 @@ def test_dedup_antijoin_broadcasts_seen_side(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ann_ivf_topk_broadcasts_probes_and_prunes_rank(spark):
+    """The IVF search must broadcast the tiny probe side (queries × nprobe
+    rows) so the corpus is scanned exactly once with no shuffle, and the
+    top-k window must be pruned map-side (WindowGroupLimit) before the
+    single rank exchange."""
+    from owlfrontier.queries import QUERIES
+
+    plan = _plan(QUERIES["ann_ivf_topk"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan  # partial top-k before the exchange
+    # exchanges: 2 round-robin input spreads + 1 rank hashpartitioning
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_dedup_clusters_labels_lsh_components(spark):
+    """Connected components over the LSH pair graph: every doc in a
+    candidate pair shares a cluster_id with its partner, the cluster_id is
+    the component minimum, and docs with no pairs label themselves."""
+    from owlfrontier.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["dedup_clusters"](spark, sf).collect()
+    }
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["minhash_lsh_pairs"](spark, sf).collect()
+    ]
+    paired = {d for p in pairs for d in p}
+    for a, b in pairs:
+        assert labels[a] == labels[b]
+    # component min: a label is always the smallest id it covers
+    for d, c in labels.items():
+        assert c <= d
+        assert labels[c] == c
+    for d in set(labels) - paired:
+        assert labels[d] == d
+
+
 def test_bucketed_fetch_join_shuffles_only_frontier(spark, tmp_path):
     from owlfrontier.synthweb import synth_pages
 
