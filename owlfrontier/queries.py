@@ -823,6 +823,35 @@ FROM s QUALIFY rnk <= 10
 _LSH_PLANES = 16
 
 
+def _lsh_bucket_expr(dim: int, planes: int) -> str:
+    """Spark SQL expression packing a row's hyperplane-LSH bucket id: the
+    data-independent ±1 sign matrix is precomputed driver-side (one md5
+    per matrix CELL, not per row) and embedded as a literal; all `planes`
+    projections fold per row over the quantized `xi` array — zero shuffle,
+    zero row multiplication, zero per-row hashing."""
+    signs = [
+        [1 if _py_h60(f"{b},{d}") % 2 == 0 else -1 for d in range(dim)]
+        for b in range(planes)
+    ]
+    signs_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{s}L" for s in row) + ")" for row in signs
+        )
+        + ")"
+    )
+    projs = (
+        f"transform({signs_sql}, srow -> "
+        f"aggregate(zip_with(xi, srow, (x, s) -> x * s), "
+        f"cast(0 as bigint), (a, t) -> a + t))"
+    )
+    return (
+        f"aggregate(zip_with({projs}, sequence(0, {planes - 1}), "
+        f"(p, b) -> IF(p > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
+        f"cast(0 as bigint), (a, t) -> a + t)"
+    )
+
+
 def q_ann_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucketing (the ANN scale path): 16 pseudo-
     hyperplanes from the portable hash; embeddings quantized to integers
@@ -839,17 +868,6 @@ def q_ann_lsh_buckets(spark, sf_dir):
     e = _emb(spark, sf_dir)
     first = e.select(F.size("embedding").alias("d")).first()
     dim = first["d"] if first is not None else 0
-    signs = [
-        [1 if _py_h60(f"{b},{d}") % 2 == 0 else -1 for d in range(dim)]
-        for b in range(_LSH_PLANES)
-    ]
-    signs_sql = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{s}L" for s in row) + ")" for row in signs
-        )
-        + ")"
-    )
     quant = _spread(e.where(F.size("embedding") == dim)).select(
         "vec_id",
         F.expr(
@@ -857,16 +875,7 @@ def q_ann_lsh_buckets(spark, sf_dir):
             "cast(round(cast(x as double) * 1000000.0D) as bigint))"
         ).alias("xi"),
     )
-    projs = (
-        f"transform({signs_sql}, srow -> "
-        f"aggregate(zip_with(xi, srow, (x, s) -> x * s), "
-        f"cast(0 as bigint), (a, t) -> a + t))"
-    )
-    bucket = (
-        f"aggregate(zip_with({projs}, sequence(0, {_LSH_PLANES - 1}), "
-        f"(p, b) -> IF(p > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
-        f"cast(0 as bigint), (a, t) -> a + t)"
-    )
+    bucket = _lsh_bucket_expr(dim, _LSH_PLANES)
     return quant.select("vec_id", F.expr(bucket).alias("bucket"))
 
 
@@ -884,6 +893,93 @@ proj AS (
 SELECT vec_id,
        sum(CASE WHEN proj > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
 FROM proj GROUP BY vec_id
+"""
+
+
+_LSH_PAIR_PLANES = 8
+# the synthetic embeddings are near-random (collision-pair cosine tops out
+# ~0.44 at sf0.01) — 0.2 keeps a meaningful survivor set; a real near-dup
+# corpus would run 0.9+
+_LSH_PAIR_COS = 0.2
+
+
+def q_ann_lsh_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup at corpus scale (the scale path whose
+    baseline is q_neardup_embedding's adjacent-pair demo): candidate pairs
+    are vectors COLLIDING in an 8-plane hyperplane-LSH bucket — a bucket
+    equi-self-join compares only collisions, never all pairs — then exact
+    integer-quantized cosine (order-stable, engine-exact) keeps pairs
+    ≥ _LSH_PAIR_COS. Fewer planes than the bucketing query on purpose: pair recall
+    wants coarser buckets (2^8) than point-lookup bucketing (2^16); a
+    skew-hot bucket would be split by banding the planes minhash-style.
+    The bucketed table is materialized once (localCheckpoint) because both
+    self-join sides read it."""
+    e = _emb(spark, sf_dir)
+    first = e.select(F.size("embedding").alias("d")).first()
+    dim = first["d"] if first is not None else 0
+    quant = _spread(e.where(F.size("embedding") == dim)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(round(cast(x as double) * 1000) as bigint))"
+        ).alias("q"),
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(round(cast(x as double) * 1000000.0D) as bigint))"
+        ).alias("xi"),
+    )
+    bucket = _lsh_bucket_expr(dim, _LSH_PAIR_PLANES)
+    bk = quant.select(
+        "vec_id", "q", F.expr(bucket).alias("bucket")
+    ).localCheckpoint(eager=True)
+    a = bk.select(F.col("vec_id").alias("a_id"), F.col("q").alias("qa"), "bucket")
+    b = bk.select(F.col("vec_id").alias("b_id"), F.col("q").alias("qb"), "bucket")
+    j = a.join(b, "bucket").where(F.col("a_id") < F.col("b_id"))
+    dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+    na = "aggregate(transform(qa, x -> x * x), cast(0 as bigint), (acc, v) -> acc + v)"
+    nb = "aggregate(transform(qb, x -> x * x), cast(0 as bigint), (acc, v) -> acc + v)"
+    cos = F.expr(
+        f"cast({dot} as double) / "
+        f"(sqrt(cast({na} as double)) * sqrt(cast({nb} as double)))"
+    )
+    return (
+        j.select("a_id", "b_id", F.round(cos, 6).alias("cos_q"))
+        .where(F.col("cos_q") >= _LSH_PAIR_COS)
+    )
+
+
+SQL_ANN_LSH_PAIRS = f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                  unnest(embedding) AS x
+           FROM embeddings),
+planes AS (SELECT unnest(generate_series(0, {_LSH_PAIR_PLANES - 1}))::INT AS b),
+proj AS (
+  SELECT vec_id, b,
+         sum(round(x::DOUBLE * 1e6)::BIGINT *
+             (CASE WHEN {_h60_duck("b::VARCHAR || ',' || d::VARCHAR")} % 2 = 0
+                   THEN 1 ELSE -1 END)) AS proj
+  FROM e CROSS JOIN planes GROUP BY vec_id, b),
+bk AS (SELECT vec_id,
+              sum(CASE WHEN proj > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
+       FROM proj GROUP BY vec_id),
+q AS (SELECT vec_id, [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q
+      FROM embeddings),
+cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+s AS (SELECT c.a_id, c.b_id,
+             round(
+               list_reduce(list_prepend(0::BIGINT,
+                 [qa.q[i] * qb.q[i] for i in generate_series(1, len(qa.q))]),
+                 (acc, v) -> acc + v)::DOUBLE
+               / (sqrt(list_reduce(list_prepend(0::BIGINT,
+                    [x * x for x in qa.q]), (acc, v) -> acc + v)::DOUBLE)
+                  * sqrt(list_reduce(list_prepend(0::BIGINT,
+                    [x * x for x in qb.q]), (acc, v) -> acc + v)::DOUBLE)),
+               6) AS cos_q
+      FROM cand c
+      JOIN q qa ON qa.vec_id = c.a_id
+      JOIN q qb ON qb.vec_id = c.b_id)
+SELECT a_id, b_id, cos_q FROM s WHERE cos_q >= {_LSH_PAIR_COS}
 """
 
 
@@ -1248,6 +1344,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_pairs": q_ann_lsh_pairs,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_topk": q_ann_ivf_topk,
     "order_seq": q_order_seq,
@@ -1281,6 +1378,7 @@ ORACLE = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "ann_lsh_pairs": SQL_ANN_LSH_PAIRS,
     "ann_ivf_assign": SQL_ANN_IVF_ASSIGN,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "order_seq": SQL_ORDER_SEQ,
