@@ -1114,6 +1114,45 @@ FROM documents
 """
 
 
+# per-mille keep rates by language: downsample the dominant language,
+# keep the tail — the language-rebalancing move every training-data mix
+# step makes. The seed string makes independent samples reproducible AND
+# decorrelated (change the seed, get a fresh sample).
+_SAMPLE_SEED = "s1"
+_SAMPLE_RATES = {"en": 250, "zh": 500, "es": 500, "de": 750, "fr": 750}
+_SAMPLE_DEFAULT = 100
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling — the training-data-mix staple:
+    keep a row iff h(seed, doc_id) mod 1000 < rate(lang), with per-stratum
+    per-mille rates. The portable 60-bit hash makes the sample a PURE
+    FILTER: reproducible across runs, engines and cluster sizes (unlike
+    ``df.sample``, whose output depends on partitioning), zero shuffle,
+    evaluated inside the scan stage, and composable — the same hash with
+    a higher rate yields a strict superset (nested samples for
+    scaling-law runs)."""
+    rate = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items()
+    ) + f" ELSE {_SAMPLE_DEFAULT} END"
+    key = f"concat('{_SAMPLE_SEED}:', cast(doc_id as string))"
+    gate = f"pmod({_h60(key)}, 1000)"
+    return (
+        _docs(spark, sf_dir)
+        .where(F.expr(f"{gate} < ({rate})"))
+        .select("doc_id", "lang")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_h60_duck(f"'{_SAMPLE_SEED}:' || doc_id::VARCHAR")} % 1000
+      < (CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())}
+         ELSE {_SAMPLE_DEFAULT} END)
+"""
+
+
 
 
 def q_search_phrase(spark, sf_dir):
@@ -1352,6 +1391,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "sample_stratified": q_sample_stratified,
     "search_phrase": q_search_phrase,
     "search_highlights": q_search_highlights,  # rows-only (pandas-UDF op)
     "multimodal_features": q_multimodal_features,  # rows-only (binary decode)
@@ -1386,6 +1426,7 @@ ORACLE = {
     "lang_id": SQL_LANG_ID,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "search_phrase": SQL_SEARCH_PHRASE,
     "neardup_embedding": SQL_NEARDUP_EMBEDDING,
     "stats_rollup": SQL_STATS_ROLLUP,

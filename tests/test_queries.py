@@ -36,3 +36,34 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert df.columns == ["seq", "generation", "url", "doc_id", "text_json"]
     assert rows[0]["text_json"].startswith('{"title":"Doc 0"')
+
+
+def test_sample_stratified_is_nested_and_stratified(spark):
+    """The hash-gate sample must be a deterministic nested family: raising
+    every rate yields a strict superset (the scaling-law property), and
+    each stratum's keep-rate tracks its configured per-mille rate."""
+    from owlfrontier import queries as Q
+
+    base = {
+        r["doc_id"]: r["lang"]
+        for r in Q.q_sample_stratified(spark, SF_DIR).collect()
+    }
+    orig = Q._SAMPLE_RATES
+    try:
+        Q._SAMPLE_RATES = {k: min(1000, v * 2) for k, v in orig.items()}
+        bigger = {
+            r["doc_id"] for r in Q.q_sample_stratified(spark, SF_DIR).collect()
+        }
+    finally:
+        Q._SAMPLE_RATES = orig
+    assert set(base) <= bigger  # nested: same hash, higher rate ⇒ superset
+    total = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang").collect()
+    }
+    for lang, rate in orig.items():
+        n_all = sum(1 for v in total.values() if v == lang)
+        n_kept = sum(1 for v in base.values() if v == lang)
+        if n_all >= 10:
+            assert abs(n_kept / n_all - rate / 1000) < 0.35
