@@ -391,54 +391,25 @@ def q_dedup_clusters(spark, sf_dir):
     cluster_id = the smallest doc_id in its component; singletons label
     themselves.
 
-    Scale shape: each round is one equi-join of the edge list with the
-    current labels plus a groupBy-min — |E| rows through one shuffle, no
-    row multiplication — and rounds converge in graph-diameter steps
-    (near-dup components are clique/star-like, diameter ≲ 3; an
-    adversarial long-chain graph would call for the alternating
-    large-star/small-star contraction [Kiveris et al., "Connected
-    Components in MapReduce", 2014] to bound rounds at O(log² n)).
-    Lineage is truncated per round with localCheckpoint — the same
-    constant-size-plan pattern as the crawl generation loop — and
-    convergence is detected by the label sum (strictly decreasing while
-    any label changes; one scalar agg per round, no extra join)."""
+    Scale shape (see :mod:`owlfrontier.graph`): each round is one
+    equi-join of the edge list with the current labels plus a groupBy-min
+    — |E| rows through one shuffle, no row multiplication — and rounds
+    converge in graph-diameter steps (near-dup components are
+    clique/star-like, diameter ≲ 3). ``graph.connected_components`` also
+    offers ``mode="star"`` (alternating large-star/small-star, O(log² n)
+    rounds for ANY diameter — the safe default when the graph shape is
+    unknown); equivalence of the two is pytest-pinned, label mode is used
+    here because the near-dup diameter is known-small."""
+    from owlfrontier.graph import connected_components
+
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     )
-    labels = _docs(spark, sf_dir).select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
-    # decimal sum: overflow-proof change detector (monotone decreasing)
-    prev_sum = labels.agg(
-        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
-    for _ in range(100):
-        nbr = edges.join(
-            labels, edges["dst"] == labels["doc_id"]
-        ).groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
-        labels = (
-            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels
+    return connected_components(nodes, edges, mode="label").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
 
 
 SQL_DEDUP_CLUSTERS = f"""
