@@ -730,6 +730,86 @@ FROM s QUALIFY rnk <= {_IVF_TOPK}
 """
 
 
+_PR_ITERS = 5
+_PR_SCALE = 10**12
+_PR_DAMP_NUM = 85  # damping 0.85 as integer per-cents
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the deterministic doc link graph (doc i → (2i+1) mod N
+    and (3i+7) mod N — the same graph the flagship crawl entry synthesizes)
+    — the classic crawl-priority signal (feed it to ``--priority`` as a
+    frontier expression to crawl important pages first).
+
+    INTEGER-EXACT on purpose: ranks are bigints in units of 1e-12. Float
+    PageRank sums contributions in partition order, so results vary
+    run-to-run and engine-to-engine; quantized bigint arithmetic makes
+    every iteration associative and the result bit-identical at any
+    cluster size (and hash-matchable against the oracle). Scale shape:
+    each of the 5 iterations is one edges⋈ranks equi-join plus a
+    groupBy-sum — |E| rows through one shuffle, lineage truncated per
+    iteration like the crawl loop."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    base = _PR_SCALE // n
+    base15 = (100 - _PR_DAMP_NUM) * base // 100
+    edges = docs.selectExpr(
+        "doc_id AS src", f"pmod(2 * doc_id + 1, {n}) AS dst"
+    ).unionAll(
+        docs.selectExpr("doc_id AS src", f"pmod(3 * doc_id + 7, {n}) AS dst")
+    ).localCheckpoint(eager=True)
+    r = docs.select(
+        F.col("doc_id").alias("id"), F.lit(base).cast("bigint").alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = edges.join(r, edges["src"] == r["id"]).select(
+            "dst", F.expr("pr div 2").alias("c")  # outdegree is exactly 2
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("sc"))
+        r = (
+            docs.join(sums, docs["doc_id"] == sums["dst"], "left")
+            .select(
+                F.col("doc_id").alias("id"),
+                (
+                    F.lit(base15)
+                    + F.expr(f"coalesce(sc, 0L) * {_PR_DAMP_NUM} div 100")
+                ).cast("bigint").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select(F.col("id").alias("doc_id"), "pr")
+
+
+def _pagerank_sql() -> str:
+    """Unrolled-iteration DuckDB oracle with IDENTICAL integer arithmetic
+    (sum cast ::BIGINT — DuckDB sums BIGINT into HUGEINT, the float64
+    hash pitfall)."""
+    base = f"({_PR_SCALE} // (SELECT c FROM n))"
+    base15 = f"((100 - {_PR_DAMP_NUM}) * {base} // 100)"
+    ctes = [
+        "n AS (SELECT count(*) AS c FROM documents)",
+        "e AS (SELECT doc_id AS src, (2 * doc_id + 1) % (SELECT c FROM n) AS dst FROM documents "
+        "UNION ALL SELECT doc_id, (3 * doc_id + 7) % (SELECT c FROM n) FROM documents)",
+        f"r0 AS (SELECT doc_id AS id, {base}::BIGINT AS pr FROM documents)",
+    ]
+    for k in range(_PR_ITERS):
+        ctes.append(
+            f"r{k + 1} AS (SELECT d.doc_id AS id, "
+            f"({base15} + COALESCE(s.sc, 0) * {_PR_DAMP_NUM} // 100)::BIGINT AS pr "
+            f"FROM documents d LEFT JOIN ("
+            f"SELECT e.dst, sum(r{k}.pr // 2)::BIGINT AS sc "
+            f"FROM e JOIN r{k} ON r{k}.id = e.src GROUP BY e.dst) s "
+            f"ON s.dst = d.doc_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, pr FROM r{_PR_ITERS}"
+    )
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 def q_order_seq(spark, sf_dir):
     """Dense order-preserving sequence numbers WITHOUT a global
     single-partition sort (ordering.with_order_preserving_seq: range
@@ -1357,6 +1437,7 @@ QUERIES = {
     "ann_lsh_pairs": q_ann_lsh_pairs,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "pagerank": q_pagerank,
     "order_seq": q_order_seq,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -1392,6 +1473,7 @@ ORACLE = {
     "ann_lsh_pairs": SQL_ANN_LSH_PAIRS,
     "ann_ivf_assign": SQL_ANN_IVF_ASSIGN,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "pagerank": SQL_PAGERANK,
     "order_seq": SQL_ORDER_SEQ,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
