@@ -37,8 +37,12 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--politeness-k", type=int, default=None)
     ap.add_argument("--priority", default="fifo",
-                    help="budget order: fifo | dfs | a SQL expression over "
-                         "the frontier columns (ascending)")
+                    help="budget order: fifo | dfs | score (needs "
+                         "--scores) | a SQL expression over the frontier "
+                         "columns (ascending)")
+    ap.add_argument("--scores",
+                    help="parquet of (url, score) for --priority score — "
+                         "e.g. a pagerank output; highest drains first")
     ap.add_argument("--robots", help="parquet of (host, robots_txt)")
     ap.add_argument("--max-generations", type=int, default=100)
     ap.add_argument("--salt-buckets", type=int, default=8)
@@ -67,8 +71,10 @@ def main(argv: list[str]) -> int:
     robots = spark.read.parquet(args.robots) if args.robots else None
     use_bloom = {"auto": "auto", "true": True, "false": False,
                  "sharded": "sharded"}[str(args.use_bloom).lower()]
+    scores = spark.read.parquet(args.scores) if args.scores else None
     engine = CrawlEngine(
         spark, pages, args.store, robots_df=robots,
+        priority_scores=scores,
         config=CrawlConfig(
             politeness_k=args.politeness_k,
             priority=args.priority,

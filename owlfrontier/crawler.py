@@ -55,8 +55,11 @@ class CrawlConfig:
     frontier_partitions: int = 32
     # priority-queue policy for the per-host budget (north_rule: the
     # frontier is a partitioned priority queue). "fifo" = reference BFS
-    # order (the equivalence target); "dfs" = deepest paths first; any
-    # other string = a SQL expression over the frontier columns (url,
+    # order (the equivalence target); "dfs" = deepest paths first;
+    # "score" = drain by a (url, score) table passed to the engine as
+    # ``priority_scores`` (e.g. the integer-exact pagerank query output
+    # — crawl important pages first), highest first, unscored URLs last;
+    # any other string = a SQL expression over the frontier columns (url,
     # host, path, discovered_from), ascending, FIFO tiebreak. Priority
     # changes WHICH generation a URL is fetched in, never WHETHER — the
     # seen-set is priority-invariant (deferral preserves membership).
@@ -109,9 +112,21 @@ class CrawlEngine:
         store_root: str,
         robots_df: DataFrame | None = None,
         config: CrawlConfig | None = None,
+        priority_scores: DataFrame | None = None,
     ):
         self.spark = spark
         self.pages = pages_df
+        # (url, score) for priority="score" — url-keyed like the pages
+        # store, so at scale it buckets by url and the budget join
+        # co-locates; a LEFT join keeps unscored URLs crawlable (they
+        # drain after all scored ones)
+        self._scores = (
+            priority_scores.select(
+                "url", F.col("score").cast("double").alias("_score")
+            )
+            if priority_scores is not None
+            else None
+        )
         # TableIO seam: a path → SnapshotStore, "iceberg:<ns>" →
         # IcebergStore, or any pre-built object implementing the contract
         self.store = (
@@ -120,6 +135,11 @@ class CrawlEngine:
             else store_root
         )
         self.config = config or CrawlConfig()
+        if self.config.priority == "score" and self._scores is None:
+            raise ValueError(
+                'priority="score" needs a priority_scores DataFrame '
+                "(url, score) — e.g. the pagerank query output"
+            )
         if self.config.arrow_batch_rows is not None:
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch",
@@ -295,6 +315,10 @@ class CrawlEngine:
             return fifo_order()
         if p == "dfs":
             return [F.size("path").desc(), F.col("path")]
+        if p == "score":
+            # highest score first, unscored last, FIFO tiebreak keeps the
+            # schedule deterministic
+            return [F.col("_score").desc_nulls_last(), *fifo_order()]
         # custom SQL expression, ascending; FIFO key breaks ties so the
         # schedule stays deterministic
         return [F.expr(p), *fifo_order()]
@@ -447,11 +471,21 @@ class CrawlEngine:
             allowed = allowed.persist()
         robots_blocked = blocked.count() if self._rules is not None else 0
 
+        budget_in = allowed
+        if (
+            cfg.priority == "score"
+            and self._scores is not None
+            and cfg.politeness_k is not None
+        ):
+            budget_in = allowed.join(self._scores, "url", "left")
         selected, deferred = budget_split(
-            allowed, cfg.politeness_k, cfg.salt_buckets,
+            budget_in, cfg.politeness_k, cfg.salt_buckets,
             order=self._priority_order(),
             host_budgets=self._host_budgets(),
         )
+        # the score column exists only for the budget window; both outputs
+        # must carry the exact frontier schema downstream
+        selected, deferred = selected.drop("_score"), deferred.drop("_score")
         if cfg.politeness_k is None:
             selected = allowed  # budget_split returned frontier unchanged
             if streamlined:

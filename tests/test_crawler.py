@@ -405,6 +405,63 @@ def test_priority_policy_changes_schedule_not_seen_set(spark, tmp_path):
     assert set(pri_rows) == set(fifo_order_rows)
 
 
+def test_score_priority_drains_high_scores_first(spark, tmp_path):
+    """priority="score": the per-host budget drains by an external
+    (url, score) table — the pagerank-feeds-the-frontier loop. Highest
+    score first, unscored URLs last, FIFO tiebreak; the seen-set stays
+    priority-invariant."""
+    from owlfrontier.crawler import CrawlConfig, CrawlEngine
+
+    pages = {
+        "http://a.example/seed": (
+            '<a href="/low">l</a><a href="/high">h</a><a href="/none">n</a>'
+        ),
+        "http://a.example/low": "<p>l</p>",
+        "http://a.example/high": "<p>h</p>",
+        "http://a.example/none": "<p>n</p>",
+    }
+    scores = spark.createDataFrame(
+        [("http://a.example/high", 9.0), ("http://a.example/low", 1.0)],
+        "url string, score double",
+    )
+    engine = CrawlEngine(
+        spark,
+        _mini_pages(spark, pages),
+        str(tmp_path / "store"),
+        priority_scores=scores,
+        config=CrawlConfig(
+            politeness_k=1, salt_buckets=2, frontier_partitions=4,
+            use_bloom=False, priority="score", max_generations=50,
+        ),
+    )
+    engine.run(seeds=["http://a.example/seed"])
+    gens = {r["url"]: r["gen_fetched"] for r in engine.crawled().collect()}
+    # FIFO would fetch /low (first-discovered) in gen 1; score mode must
+    # fetch /high first, then /low, then the unscored /none
+    assert gens["http://a.example/high"] == 1
+    assert gens["http://a.example/low"] == 2
+    assert gens["http://a.example/none"] == 3
+    # seen-set invariant vs the FIFO run of the same site
+    fifo_eng, _ = _run(spark, tmp_path / "fifo", pages,
+                       ["http://a.example/seed"],
+                       politeness_k=1, max_generations=50)
+    assert set(gens) == {r["url"] for r in fifo_eng.crawled().collect()}
+
+
+def test_score_priority_without_scores_table_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from owlfrontier.crawler import CrawlConfig, CrawlEngine
+
+    with _pytest.raises(ValueError, match="priority_scores"):
+        CrawlEngine(
+            spark,
+            _mini_pages(spark, {"http://a.example/x": "<p>x</p>"}),
+            str(tmp_path / "store"),
+            config=CrawlConfig(priority="score"),
+        )
+
+
 def test_sharded_bloom_matches_single_filter(spark):
     """bloom.py ShardedBloomFilter (the 10^10-key shape): B=4 shards built
     from the same keys must agree with the monolithic filter on every
