@@ -148,3 +148,97 @@ class SeedIngest:
             self.seeds().select("url", "submitted_at"),
             ["submitted_at", "url"],
         ).select("url", "seq")
+
+
+class HostQuotaGate:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    a per-host lifetime submission quota on the seed stream.
+
+    The batch engine's politeness budget is per-generation; this is its
+    stream-side sibling — at most ``k`` URLs per host are ever admitted
+    from the submission stream, and the running per-host count lives in
+    Spark's state store keyed by host, so the quota holds ACROSS
+    micro-batches and across query restarts (state restores from the
+    streaming checkpoint). Each admitted row carries ``host_seq`` — the
+    host's dense admission sequence — assigned inside the stateful
+    function, something no stateless operator can produce.
+
+    Scale shape: state is one bigint per host (bounded by host
+    cardinality, not stream length); each micro-batch shuffles only on
+    host, and a hot host's group processes as a bounded pandas chunk
+    stream."""
+
+    OUT_SCHEMA = (
+        "host string, url string, submitted_at timestamp, host_seq bigint"
+    )
+    STATE_SCHEMA = "accepted bigint"
+
+    def __init__(self, spark: SparkSession, root: str, k: int):
+        self.spark = spark
+        self.root = root
+        self.k = k
+        self.inbox = os.path.join(root, "inbox")
+        self.accepted = os.path.join(root, "accepted")
+        self.checkpoint = os.path.join(root, "checkpoint-quota")
+        os.makedirs(self.inbox, exist_ok=True)
+
+    def _gate_fn(self):
+        k = self.k
+
+        def gate(key, pdf_iter, state):
+            import pandas as pd
+
+            accepted = state.get[0] if state.exists else 0
+            outs = []
+            for pdf in pdf_iter:
+                room = k - accepted
+                if room <= 0:
+                    continue
+                # deterministic within a chunk: submission order
+                take = pdf.sort_values(
+                    ["submitted_at", "url"], kind="mergesort"
+                ).iloc[:room]
+                take = take.assign(
+                    host_seq=range(accepted, accepted + len(take))
+                )
+                accepted += len(take)
+                outs.append(
+                    take[["host", "url", "submitted_at", "host_seq"]]
+                )
+            state.update((accepted,))
+            if outs:
+                yield pd.concat(outs)
+
+        return gate
+
+    def start(self, available_now: bool = True):
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        gated = (
+            self.spark.readStream.schema(SEED_SCHEMA)
+            .json(self.inbox)
+            .withColumn("host", F.regexp_extract("url", HOST_REGEX, 1))
+            .groupBy("host")
+            .applyInPandasWithState(
+                self._gate_fn(),
+                self.OUT_SCHEMA,
+                self.STATE_SCHEMA,
+                "append",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+        writer = (
+            gated.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", self.accepted)
+            .option("checkpointLocation", self.checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def drain(self) -> None:
+        self.start(available_now=True).awaitTermination()
+
+    def admitted(self) -> DataFrame:
+        return self.spark.read.parquet(self.accepted)

@@ -337,3 +337,46 @@ def test_frame_sample_fanout(spark):
     frames = frame_sample_pipeline(df, every_n=2, n_frames=4).collect()
     assert [r["frame_idx"] for r in frames] == [0, 2, 4, 6]
     assert len({r["frame_sha256"] for r in frames}) == 4
+
+
+def test_host_quota_gate_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: the per-host quota's state (admitted count)
+    must hold across micro-batches AND across query restarts — the second
+    drain() is a brand-new streaming query restoring state from the
+    checkpoint."""
+    from owlfrontier.streaming import HostQuotaGate
+
+    gate = HostQuotaGate(spark, str(tmp_path / "gate"), k=3)
+    _write_inbox(gate, "b1.json", [
+        ("http://a.example/p0", "2026-01-01T00:00:00Z"),
+        ("http://a.example/p1", "2026-01-01T00:00:10Z"),
+        ("http://a.example/p2", "2026-01-01T00:00:20Z"),
+        ("http://a.example/p3", "2026-01-01T00:00:30Z"),  # over quota
+        ("http://a.example/p4", "2026-01-01T00:00:40Z"),  # over quota
+        ("http://b.example/p0", "2026-01-01T00:01:00Z"),
+    ])
+    gate.drain()
+    rows = {(r["host"], r["url"]): r["host_seq"]
+            for r in gate.admitted().collect()}
+    a_urls = {u for (h, u) in rows if h == "a.example"}
+    assert a_urls == {f"http://a.example/p{i}" for i in range(3)}
+    assert [rows[("a.example", f"http://a.example/p{i}")]
+            for i in range(3)] == [0, 1, 2]
+    assert rows[("b.example", "http://b.example/p0")] == 0
+
+    # restart: new files, new query, SAME checkpoint → a.example is
+    # already exhausted, b.example has room for 2 more
+    _write_inbox(gate, "b2.json", [
+        ("http://a.example/p9", "2026-01-01T00:05:00Z"),
+        ("http://b.example/p1", "2026-01-01T00:05:10Z"),
+        ("http://b.example/p2", "2026-01-01T00:05:20Z"),
+        ("http://b.example/p3", "2026-01-01T00:05:30Z"),  # over quota
+    ])
+    gate.drain()
+    rows2 = {(r["host"], r["url"]): r["host_seq"]
+             for r in gate.admitted().collect()}
+    assert ("a.example", "http://a.example/p9") not in rows2
+    assert rows2[("b.example", "http://b.example/p1")] == 1
+    assert rows2[("b.example", "http://b.example/p2")] == 2
+    assert ("b.example", "http://b.example/p3") not in rows2
+    assert len(rows2) == 6
