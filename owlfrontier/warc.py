@@ -159,6 +159,48 @@ def pages_from_warc(spark: SparkSession, path: str,
     )
 
 
+def export_warc(df: DataFrame, out_dir: str,
+                gzip_per_record: bool = True) -> None:
+    """The WARC SINK: (url, warc_ts, html) rows → one ``part-NNNNN.warc[.gz]``
+    file per partition under ``out_dir`` — re-sharding crawl output into
+    the Common Crawl layout. Each task writes its own file (the WARC
+    parallelism unit, mirroring the reader), records sorted by url within
+    a partition so output is deterministic for a given partitioning.
+    ``out_dir`` must be storage every executor can reach (local FS here;
+    a shared mount/object store on a cluster)."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_per_record else ".warc"
+
+    def _write(rows):
+        from pyspark import TaskContext
+
+        recs = []
+        for r in rows:
+            ts = r["warc_ts"]
+            recs.append({
+                "url": r["url"],
+                "date": ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts else
+                        "1970-01-01T00:00:00Z",
+                "payload": (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + bytes(r["html"])
+                ),
+            })
+        if not recs:
+            return
+        recs.sort(key=lambda r: r["url"])
+        pid = TaskContext.get().partitionId()
+        path = _os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(write_warc(recs, gzip_per_record=gzip_per_record))
+        _os.replace(tmp, path)  # atomic per-file commit
+
+    df.select("url", "warc_ts", "html").foreachPartition(_write)
+
+
 def write_warc(records: list[dict], gzip_per_record: bool = False) -> bytes:
     """Build WARC bytes from dicts (url, date, http bytes) — the test/
     fixture sibling of :func:`parse_warc` (also handy to emit WARC from

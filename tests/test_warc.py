@@ -103,3 +103,27 @@ def test_warc_pages_flow_through_extraction(spark, tmp_path):
     assert out[0]["title"] == "T1"
     assert json.loads(out[0]["text_json"])["title"] == "T1"
     assert out[0]["links_all"] == ["http://a.example/n"]
+
+
+def test_export_warc_roundtrip(spark, tmp_path):
+    """WARC sink → WARC source round-trip: exporting a pages frame and
+    re-reading it preserves every (url, warc_ts, html) triple."""
+    from owlfrontier.synthweb import synth_pages
+    from owlfrontier.warc import export_warc
+
+    pages = synth_pages(spark, 300, n_hosts=6, partitions=3).select(
+        "url", "warc_ts", "html"
+    )
+    out = str(tmp_path / "warc_out")
+    export_warc(pages, out)
+    back = read_warc(spark, out)
+    import os
+
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".warc.gz") for f in files)
+    orig = {(r["url"], r["warc_ts"], bytes(r["html"]))
+            for r in pages.collect()}
+    got = {(r["url"], r["warc_ts"], bytes(r["html"]))
+           for r in back.collect()}
+    assert got == orig
+    assert back.count() == 300
