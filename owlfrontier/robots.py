@@ -137,3 +137,33 @@ def robots_rules_udf():
 
     _parse.__annotations__ = {"txt": pd.Series, "return": pd.DataFrame}
     return pandas_udf("disallows array<string>, crawl_delay double")(_parse)
+
+
+def robots_from_pages(pages):
+    """Extract (host, robots_txt) rules rows from the PAGES STORE itself —
+    the Common-Crawl bootstrap path (SURVEY.md §2.5: robots.txt rows live
+    in the corpus at ``scheme://host/robots.txt``; CC archives fetch and
+    store them like any page). Pure column ops: one filtered pass over the
+    scan (predicate prunes on the url suffix), first-wins per host by
+    (warc_ts, url) when an archive holds several snapshots.
+
+    Feed the result straight to ``CrawlEngine(robots_df=...)``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from owlfrontier.urlutil import HOST_REGEX
+
+    cand = pages.where(
+        F.col("url").rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+/robots\.txt$")
+    ).select(
+        F.regexp_extract("url", HOST_REGEX, 1).alias("host"),
+        F.decode(F.col("html"), "UTF-8").alias("robots_txt"),
+        "warc_ts",
+        "url",
+    )
+    w = Window.partitionBy("host").orderBy("warc_ts", "url")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("host", "robots_txt")
+    )

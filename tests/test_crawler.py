@@ -554,3 +554,38 @@ def test_salted_partitioning_defuses_hot_host(spark):
     # salting spread: no single partition carries the hot host whole
     assert max(sizes) < hot * 0.6
     assert len(sizes) >= 12  # rows actually spread across partitions
+
+
+def test_robots_from_pages_gates_crawl(spark, tmp_path):
+    """SURVEY §2.5 bootstrap path: robots rules parsed OUT OF the pages
+    store (the corpus holds host/robots.txt like any page) gate the crawl
+    exactly like an external rules table; first-wins picks the earliest
+    snapshot when an archive holds several."""
+    from owlfrontier.robots import robots_from_pages
+
+    pages = _mini_pages(spark, {
+        "http://a.example/seed": '<a href="/ok">o</a><a href="/priv/x">p</a>',
+        "http://a.example/ok": "<p>ok</p>",
+        "http://a.example/priv/x": "<p>secret</p>",
+        "http://a.example/robots.txt":
+            "User-agent: *\nDisallow: /priv/\n",
+        "http://b.example/robots.txt":  # unrelated host, allows all
+            "User-agent: *\nDisallow:\n",
+    })
+    rules = robots_from_pages(pages)
+    rows = {r["host"]: r["robots_txt"] for r in rules.collect()}
+    assert set(rows) == {"a.example", "b.example"}
+    assert "Disallow: /priv/" in rows["a.example"]
+
+    from owlfrontier.crawler import CrawlConfig, CrawlEngine
+
+    engine = CrawlEngine(
+        spark, pages, str(tmp_path / "store"), robots_df=rules,
+        config=CrawlConfig(robots_enabled=True, salt_buckets=2,
+                           frontier_partitions=4, use_bloom=False,
+                           max_generations=10),
+    )
+    engine.run(seeds=["http://a.example/seed"])
+    seen = {r["url"] for r in engine.crawled().collect()}
+    assert "http://a.example/ok" in seen
+    assert "http://a.example/priv/x" not in seen
