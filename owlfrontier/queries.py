@@ -1174,6 +1174,16 @@ _SAMPLE_RATES = {"en": 250, "zh": 500, "es": 500, "de": 750, "fr": 750}
 _SAMPLE_DEFAULT = 100
 
 
+def _sample_rate_case(col: str = "lang") -> str:
+    """SQL CASE mapping a language column to its per-mille keep rate —
+    identical text works in Spark SQL and DuckDB."""
+    return (
+        f"CASE {col} "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())
+        + f" ELSE {_SAMPLE_DEFAULT} END"
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling — the training-data-mix staple:
     keep a row iff h(seed, doc_id) mod 1000 < rate(lang), with per-stratum
@@ -1183,9 +1193,7 @@ def q_sample_stratified(spark, sf_dir):
     evaluated inside the scan stage, and composable — the same hash with
     a higher rate yields a strict superset (nested samples for
     scaling-law runs)."""
-    rate = "CASE lang " + " ".join(
-        f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items()
-    ) + f" ELSE {_SAMPLE_DEFAULT} END"
+    rate = _sample_rate_case()
     key = f"concat('{_SAMPLE_SEED}:', cast(doc_id as string))"
     gate = f"pmod({_h60(key)}, 1000)"
     return (
@@ -1199,8 +1207,69 @@ SQL_SAMPLE_STRATIFIED = f"""
 SELECT doc_id, lang
 FROM documents
 WHERE {_h60_duck(f"'{_SAMPLE_SEED}:' || doc_id::VARCHAR")} % 1000
-      < (CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())}
-         ELSE {_SAMPLE_DEFAULT} END)
+      < ({_sample_rate_case()})
+"""
+
+
+_CORPUS_MIN_TOKENS = 20
+
+
+def q_corpus_select(spark, sf_dir):
+    """THE END-TO-END TRAINING-MIX QUERY — what a data engineer actually
+    ships: the kept corpus after composing three pipeline stages, each
+    individually oracle-verified elsewhere in this registry:
+
+      1. near-dup dedup: keep only cluster REPRESENTATIVES (doc_id ==
+         cluster_id from the MinHash-LSH connected components),
+      2. quality floor: ≥ _CORPUS_MIN_TOKENS whitespace tokens,
+      3. language re-balancing: the deterministic stratified hash gate.
+
+    Composition is pure DataFrame algebra — the dedup join is the only
+    shuffle beyond what clustering already did; quality and sampling are
+    scan-stage filters. The oracle recomputes all three stages in one
+    DuckDB statement (recursive-CTE closure + the same integer gates)."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    reps = clusters.where(
+        F.col("cluster_id") == F.col("doc_id")
+    ).select("doc_id")
+    key = f"concat('{_SAMPLE_SEED}:', cast(doc_id as string))"
+    return (
+        _docs(spark, sf_dir)
+        .join(reps, "doc_id")
+        .where(F.expr(f"size(split(text, ' ')) >= {_CORPUS_MIN_TOKENS}"))
+        .where(F.expr(
+            f"pmod({_h60(key)}, 1000) < ({_sample_rate_case()})"
+        ))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("cast(size(split(text, ' ')) as bigint)").alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+SQL_CORPUS_SELECT = f"""
+WITH RECURSIVE
+pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+reach(root, node) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (SELECT root AS doc_id, min(node)::BIGINT AS cluster_id
+             FROM reach GROUP BY root)
+SELECT d.doc_id, d.lang,
+       len(string_split(d.text, ' '))::BIGINT AS n_tokens
+FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+WHERE c.cluster_id = d.doc_id
+  AND len(string_split(d.text, ' ')) >= {_CORPUS_MIN_TOKENS}
+  AND {_h60_duck(f"'{_SAMPLE_SEED}:' || d.doc_id::VARCHAR")} % 1000
+      < ({_sample_rate_case("d.lang")})
 """
 
 
@@ -1444,6 +1513,7 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "sample_stratified": q_sample_stratified,
+    "corpus_select": q_corpus_select,
     "search_phrase": q_search_phrase,
     "search_highlights": q_search_highlights,  # rows-only (pandas-UDF op)
     "multimodal_features": q_multimodal_features,  # rows-only (binary decode)
@@ -1480,6 +1550,7 @@ ORACLE = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "corpus_select": SQL_CORPUS_SELECT,
     "search_phrase": SQL_SEARCH_PHRASE,
     "neardup_embedding": SQL_NEARDUP_EMBEDDING,
     "stats_rollup": SQL_STATS_ROLLUP,
