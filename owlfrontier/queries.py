@@ -629,6 +629,134 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
 """
 
 
+_IVF_TRAIN_ITERS = 3
+
+
+def q_ann_ivf_train(spark, sf_dir):
+    """IVF codebook TRAINING — integer-exact Lloyd k-means (3 iterations,
+    K = _IVF_K, init = first K vectors), upgrading the assign/search
+    queries' "first-K stand-in" to an actually trained codebook.
+
+    Engine-exactness, like pagerank: float k-means sums coordinates in
+    partition order and drifts run-to-run; here vectors are quantized
+    bigints, per-cluster centroids are truncated integer means, and every
+    step is associative — the trained codebook is bit-identical at any
+    cluster size and hash-matches an unrolled-iteration DuckDB oracle.
+
+    Scale shape per iteration: assignment is a per-row argmin fold over
+    the broadcast codebook literal (zero shuffle, zero row
+    multiplication); the update is ONE groupBy(cid) with dim+1 column
+    sums (single shuffle of K×(dim+1) partial aggregates — never a
+    dims× row explosion); only the K×dim codebook transits the driver,
+    which is how every distributed k-means carries its centroids. Empty
+    clusters keep their previous centroid."""
+    e = _emb(spark, sf_dir)
+    first = e.select(F.size("embedding").alias("d")).first()
+    dim = first["d"] if first is not None else 0
+    quant = _spread(e.where(F.size("embedding") == dim)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(round(cast(x as double) * 1000000.0D) as bigint))"
+        ).alias("xi"),
+    ).localCheckpoint(eager=True)
+    cents = [
+        list(r["xi"])
+        for r in quant.where(F.col("vec_id") < _IVF_K)
+        .orderBy("vec_id").collect()
+    ]
+
+    def trunc_div(s: int, n: int) -> int:
+        # truncate toward zero — matches DuckDB's integer `//`
+        return s // n if s >= 0 else -((-s) // n)
+
+    for _ in range(_IVF_TRAIN_ITERS):
+        cent_sql = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{v}L" for v in c) + ")" for c in cents
+            )
+            + ")"
+        )
+        dists = (
+            f"transform({cent_sql}, c -> aggregate("
+            f"zip_with(xi, c, (a, b) -> (a - b) * (a - b)), "
+            f"cast(0 as bigint), (acc, t) -> acc + t))"
+        )
+        assign = (
+            f"cast(array_position({dists}, array_min({dists})) - 1 as bigint)"
+        )
+        rows = (
+            quant.select(F.expr(assign).alias("cid"), "xi")
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("xi")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = {
+            int(r["cid"]): [
+                trunc_div(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)
+            ]
+            for r in rows
+        }
+        cents = [new.get(cid, old) for cid, old in enumerate(cents)]
+    return spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(cents)],
+        "cid bigint, centroid array<bigint>",
+    )
+
+
+def _ivf_train_sql() -> str:
+    """Unrolled Lloyd iterations in DuckDB: same init, same quantization,
+    same truncating integer mean (`//`), empty clusters keep the previous
+    centroid via LEFT JOIN + COALESCE."""
+    parts = [
+        "q AS (SELECT vec_id, [round(x::DOUBLE * 1e6)::BIGINT "
+        "for x in embedding] AS xi FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, xi AS ci FROM q "
+        f"WHERE vec_id < {_IVF_K})",
+    ]
+    for k in range(_IVF_TRAIN_ITERS):
+        parts.append(
+            f"d{k} AS (SELECT q.vec_id, c.cid, "
+            f"list_sum([(q.xi[i] - c.ci[i]) * (q.xi[i] - c.ci[i]) "
+            f"for i in generate_series(1, len(q.xi))])::BIGINT AS dist2 "
+            f"FROM q CROSS JOIN c{k} c)"
+        )
+        parts.append(
+            f"a{k} AS (SELECT vec_id, cid FROM d{k} "
+            f"QUALIFY row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist2, cid) = 1)"
+        )
+        parts.append(
+            f"u{k} AS (SELECT a.cid, generate_subscripts(q.xi, 1) AS pos, "
+            f"unnest(q.xi) AS val "
+            f"FROM a{k} a JOIN q ON q.vec_id = a.vec_id)"
+        )
+        parts.append(
+            f"m{k} AS (SELECT cid, pos, "
+            f"(sum(val)::BIGINT // count(*)::BIGINT) AS v "
+            f"FROM u{k} GROUP BY cid, pos)"
+        )
+        parts.append(
+            f"n{k} AS (SELECT cid, list(v ORDER BY pos) AS ci "
+            f"FROM m{k} GROUP BY cid)"
+        )
+        parts.append(
+            f"c{k + 1} AS (SELECT c.cid, COALESCE(n.ci, c.ci) AS ci "
+            f"FROM c{k} c LEFT JOIN n{k} n ON n.cid = c.cid)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT cid, ci AS centroid FROM c{_IVF_TRAIN_ITERS}"
+    )
+
+
+SQL_ANN_IVF_TRAIN = _ivf_train_sql()
+
+
 _IVF_NPROBE = 2
 _IVF_TOPK = 5
 _IVF_NQUERIES = 5
@@ -1505,6 +1633,7 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_pairs": q_ann_lsh_pairs,
     "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_ivf_train": q_ann_ivf_train,
     "ann_ivf_topk": q_ann_ivf_topk,
     "pagerank": q_pagerank,
     "order_seq": q_order_seq,
@@ -1542,6 +1671,7 @@ ORACLE = {
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_lsh_pairs": SQL_ANN_LSH_PAIRS,
     "ann_ivf_assign": SQL_ANN_IVF_ASSIGN,
+    "ann_ivf_train": SQL_ANN_IVF_TRAIN,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "pagerank": SQL_PAGERANK,
     "order_seq": SQL_ORDER_SEQ,
