@@ -55,6 +55,10 @@ def main(argv: list[str]) -> int:
                     help="pages store is hash-bucketed by url (Iceberg "
                          "bucket(N,url) / CLUSTERED BY): SMJ, frontier-only shuffle")
     ap.add_argument("--light-metrics", action="store_true")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the crawl, merge committed crawled "
+                         "generations into one dir (snapshot store; "
+                         "Iceberg uses rewrite_data_files)")
     ap.add_argument("--order-out", help="write the exact crawl order here")
     args = ap.parse_args(argv)
 
@@ -110,6 +114,8 @@ def main(argv: list[str]) -> int:
         summary = engine.run(seeds=seeds)
     if args.order_out:
         engine.crawl_order().write.mode("overwrite").parquet(args.order_out)
+    if args.compact and hasattr(engine.store, "compact"):
+        summary["compact"] = engine.store.compact()
     print(json.dumps(summary))
     return 0
 

@@ -118,6 +118,41 @@ class SnapshotStore:
             if name.startswith("gen-") and name not in keep:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
 
+    _COMPACT_BASE = 1_000_000  # above any real generation number
+
+    def compact(self, n_files: int = 8) -> dict:
+        """Small-files compaction — the ``rewrite_data_files`` analog for
+        the snapshot store (a 10^10-URL crawl accumulates one parquet dir
+        per generation; reads degrade with file count long before data
+        size matters). Merges every committed crawled generation into ONE
+        repartitioned dir and swaps it in atomically through the manifest.
+
+        Crash-safe at each step: before the manifest replace, the merged
+        dir is an invisible orphan (manifest-scoped reads); after it, the
+        OLD dirs are orphans — either kind is dropped by resume's
+        ``drop_uncommitted``. Row content (including each row's original
+        ``gen_fetched``) is unchanged; only file layout changes. The
+        generation counter keeps running from where it was — the engine
+        treats ``crawled_generations`` as opaque directory ids."""
+        manifest = self.read_manifest()
+        gens = list(manifest["crawled_generations"]) if manifest else []
+        if len(gens) <= 1:
+            return {"compacted": False, "merged": 0}
+        target = self._COMPACT_BASE + max(gens) + 1
+        combined = self.read_crawled(gens).repartition(n_files)
+        self.write_gen(combined, "crawled", target)
+        rows = self.read_gen("crawled", target).count()  # verify readable
+        self.commit(
+            manifest["generation"],
+            self.read_metrics(),
+            manifest["frontier_empty"],
+            [target],
+        )  # the atomic swap point
+        for g in gens:
+            shutil.rmtree(self._gen_dir("crawled", g), ignore_errors=True)
+        return {"compacted": True, "merged": len(gens),
+                "target": target, "rows": rows}
+
 
 def iceberg_available(spark) -> bool:
     """True iff the Iceberg Spark runtime is on the session's classpath."""
