@@ -380,3 +380,49 @@ def test_host_quota_gate_state_survives_restart(spark, tmp_path):
     assert rows2[("b.example", "http://b.example/p2")] == 2
     assert ("b.example", "http://b.example/p3") not in rows2
     assert len(rows2) == 6
+
+
+def test_crawl_follow_daemon(spark, tmp_path):
+    """Continuous crawl: the daemon bootstraps from the streaming inbox,
+    crawls to exhaustion, parks idle, and wakes back up when a later
+    inbox file submits a new site — state carried entirely by the
+    streaming checkpoint + store manifest (restartable)."""
+    import datetime as dt
+
+    from owlfrontier.crawler import CrawlConfig, CrawlEngine
+    from owlfrontier.daemon import crawl_follow
+
+    pages = {
+        "http://a.example/seed": '<a href="/next">n</a>',
+        "http://a.example/next": "<p>done</p>",
+        "http://c.example/solo": "<p>later</p>",
+    }
+    rows = [
+        (u, dt.datetime(2026, 1, 1, 0, 0, i), h.encode(), None, "en")
+        for i, (u, h) in enumerate(sorted(pages.items()))
+    ]
+    pages_df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    engine = CrawlEngine(
+        spark, pages_df, str(tmp_path / "store"),
+        config=CrawlConfig(salt_buckets=2, frontier_partitions=4,
+                           use_bloom=False, max_generations=20),
+    )
+    ingest = SeedIngest(spark, str(tmp_path / "ingest"))
+    _write_inbox(ingest, "b1.json",
+                 [("http://a.example/seed", "2026-01-01T00:00:00Z")])
+    ticks = crawl_follow(engine, ingest, max_ticks=10, idle_stop=2)
+    seen = {r["url"] for r in engine.crawled().collect()}
+    assert seen == {"http://a.example/seed", "http://a.example/next"}
+    # parked after idle_stop consecutive no-work ticks
+    assert sum(1 for t in ticks if not t["pending"] and not t["run"]) == 2
+
+    # a NEW submission wakes the finished crawl back up (fresh daemon
+    # call = restart; streaming checkpoint skips the already-read file)
+    _write_inbox(ingest, "b2.json",
+                 [("http://c.example/solo", "2026-01-01T00:10:00Z")])
+    crawl_follow(engine, ingest, max_ticks=10, idle_stop=2)
+    seen2 = {r["url"] for r in engine.crawled().collect()}
+    assert seen2 == seen | {"http://c.example/solo"}
