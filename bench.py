@@ -78,25 +78,44 @@ def ensure_bench_pages(spark, sf: float) -> str:
     return path
 
 
-def bench_crawl(spark, sf: float, max_generations: int = 6) -> dict:
+def bench_crawl(spark, sf: float, max_generations: int = 6,
+                policied: bool = False) -> dict:
+    """policied=False: the unbounded reference-equivalent BFS crawl.
+    policied=True: the full scheduling path under load — per-host
+    politeness budget (salted two-phase top-k window) + score-table
+    priority (broadcast join each generation), the config a production
+    crawl actually runs."""
+    from pyspark.sql import functions as F
+
     from owlfrontier.crawler import CrawlConfig, CrawlEngine
 
     path = ensure_bench_pages(spark, sf)
     seeds = spark.read.parquet(path + ".seeds")
     pages = spark.read.parquet(path)
     store = tempfile.mkdtemp(prefix="owlfrontier-bench-store-")
+    scores = None
+    kwargs = dict(politeness_k=None, priority="fifo")
+    if policied:
+        # deterministic stand-in for a pagerank table (no driver compute)
+        scores = pages.select(
+            "url",
+            (F.pmod(F.xxhash64("url"), F.lit(1000)).cast("double")
+             ).alias("score"),
+        )
+        kwargs = dict(politeness_k=64, priority="score")
     engine = CrawlEngine(
         spark,
         pages,
         store,
+        priority_scores=scores,
         config=CrawlConfig(
-            politeness_k=None,
             max_generations=max_generations,
             salt_buckets=8,
             frontier_partitions=32,
             use_bloom="auto",
             light_metrics=True,
             broadcast_frontier_rows=100_000,
+            **kwargs,
         ),
     )
     t0 = time.time()
@@ -137,6 +156,8 @@ def main() -> None:
 
     crawl = bench_crawl(spark, sf)
     timings["crawl_loop"] = round(crawl["crawl_sec"], 3)
+    crawl_policied = bench_crawl(spark, sf, policied=True)
+    timings["crawl_loop_policied"] = round(crawl_policied["crawl_sec"], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -148,6 +169,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "crawl": crawl,
+                "crawl_policied": crawl_policied,
                 "cpus": cpus,
             }
         )
