@@ -127,3 +127,33 @@ def test_export_warc_roundtrip(spark, tmp_path):
            for r in back.collect()}
     assert got == orig
     assert back.count() == 300
+
+
+def test_warc_roundtrip_property():
+    """Property: write_warc∘parse_warc is the identity on response
+    records for arbitrary body bytes (including CRLF runs, WARC/ header
+    look-alikes, and gzip magic inside bodies), in both layouts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    record = st.fixed_dictionaries({
+        "url": st.from_regex(r"http://[a-z]{1,8}\.example/[a-zA-Z0-9/_-]{0,20}",
+                             fullmatch=True),
+        "body": st.binary(max_size=300),
+    })
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(record, max_size=6), st.booleans())
+    def check(recs, gz):
+        payloads = [
+            {"url": r["url"], "date": f"2026-01-01T00:00:{i % 60:02d}Z",
+             "payload": _http(r["body"])}
+            for i, r in enumerate(recs)
+        ]
+        out = list(parse_warc(write_warc(payloads, gzip_per_record=gz)))
+        assert [(o["url"], o["html"]) for o in out] == [
+            (r["url"], r["body"]) for r in recs
+        ]
+        assert all(o["http_status"] == 200 for o in out)
+
+    check()
