@@ -108,3 +108,19 @@ def test_arbitrary_bytes_roundtrip_to_valid_utf8_json(data):
     rec["text_json"].encode("utf-8")
     for v in rec["text"]:
         v.encode("utf-8")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=400))
+def test_robots_parser_total_on_arbitrary_text(txt):
+    """robots.txt parsing is total: any text yields a (possibly empty)
+    prefix list and an optional non-negative-able delay without raising;
+    prefixes always come from Disallow lines of the text itself."""
+    from owlfrontier.robots import parse_crawl_delay, parse_disallows
+
+    dis = parse_disallows(txt)
+    assert isinstance(dis, list)
+    for d in dis:
+        assert d and d in txt
+    delay = parse_crawl_delay(txt)
+    assert delay is None or isinstance(delay, float)
