@@ -67,3 +67,44 @@ def test_sample_stratified_is_nested_and_stratified(spark):
         n_kept = sum(1 for v in base.values() if v == lang)
         if n_all >= 10:
             assert abs(n_kept / n_all - rate / 1000) < 0.35
+
+
+def test_ivf_training_reduces_quantization_error(spark):
+    """Lloyd iterations must not worsen the objective: total squared
+    distance from each vector to its nearest centroid shrinks (or holds)
+    as iterations increase, and the trained codebook beats the untrained
+    first-K init."""
+    from owlfrontier import queries as Q
+
+    def objective(iters):
+        orig = Q._IVF_TRAIN_ITERS
+        Q._IVF_TRAIN_ITERS = iters
+        try:
+            cents = {
+                r["cid"]: list(r["centroid"])
+                for r in Q.q_ann_ivf_train(spark, SF_DIR).collect()
+            }
+        finally:
+            Q._IVF_TRAIN_ITERS = orig
+        import duckdb
+
+        duckdb.sql(
+            "CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+        )
+        vecs = duckdb.sql(
+            "SELECT [round(x::DOUBLE * 1e6)::BIGINT for x in embedding] "
+            "AS xi FROM embeddings"
+        ).fetchall()
+        total = 0
+        for (xi,) in vecs:
+            total += min(
+                sum((a - b) * (a - b) for a, b in zip(xi, c))
+                for c in cents.values()
+            )
+        return total
+
+    o0, o1, o3 = objective(0), objective(1), objective(3)
+    assert o1 <= o0  # first update beats the raw first-K init
+    assert o3 <= o1  # more iterations never worsen the objective
+    assert o3 < o0  # and training overall strictly improved it
