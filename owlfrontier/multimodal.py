@@ -206,6 +206,288 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+# --- GIF (LZW) — REAL stdlib decode/encode ---------------------------------
+#
+# GIF87a/89a per the spec: logical screen + global/local color tables,
+# LZW-compressed index streams (variable code size 3..12 bits, LSB-first,
+# clear/end codes, deferred-clear full-table behavior), 4-pass interlacing,
+# GCE transparency, and frame compositing with disposal methods 0/1
+# (paint-over), 2 (restore-background) and 3 (restore-previous). The
+# encoder exists for fixtures/round-trips and writes real table-building
+# LZW; ``clear_trick=True`` writes the degenerate clear-before-every-symbol
+# stream instead — a structurally independent encoding used to
+# de-correlate encoder and decoder bugs in tests.
+
+
+def _lzw_decode(data: bytes, min_code: int) -> list[int]:
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    stream = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    table: list[list[int] | None] = [[i] for i in range(clear)] + [None, None]
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    while True:
+        if bitpos + code_size > nbits:
+            break
+        code = (stream >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == end:
+            break
+        if code == clear:
+            table = [[i] for i in range(clear)] + [None, None]
+            code_size = min_code + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+            if entry is None:
+                raise ValueError("corrupt LZW: first code not literal")
+            out.extend(entry)
+            prev = entry
+            continue
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + [entry[0]])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW: code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _lzw_encode(indices, min_code: int, clear_trick: bool = False) -> bytes:
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    acc = 0
+    accbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += code_size
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    emit(clear)
+    if clear_trick:
+        # clear before every symbol: table never grows, size never bumps
+        for i, s in enumerate(indices):
+            if i:
+                emit(clear)
+            emit(int(s))
+    else:
+        table = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        prev: tuple = ()
+        for s in indices:
+            s = int(s)
+            cur = prev + (s,)
+            if cur in table:
+                prev = cur
+                continue
+            emit(table[prev])
+            table[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                # mirror of the decoder's grow point: the entry just added
+                # filled the current code space, so the NEXT code is wider
+                code_size += 1
+            prev = (s,)
+            if next_code == 4095:  # conservative reset before the cap
+                emit(table[prev])
+                emit(clear)
+                table = {(i,): i for i in range(clear)}
+                next_code = end + 1
+                code_size = min_code + 1
+                prev = ()
+        if prev:
+            emit(table[prev])
+    emit(end)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    h = idx.shape[0]
+    order: list[int] = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    out = np.empty_like(idx)
+    out[np.array(order, dtype=np.int64)] = idx
+    return out
+
+
+def _interlace_rows(idx: np.ndarray) -> np.ndarray:
+    h = idx.shape[0]
+    order: list[int] = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return idx[np.array(order, dtype=np.int64)]
+
+
+def gif_frames(payload: bytes) -> list[np.ndarray]:
+    """REAL stdlib decode: all composited frames of a GIF as HxWx3 uint8
+    arrays (animated GIF = the container's video analog)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, bg, _ = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        gct = np.frombuffer(payload[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:, :] = gct[bg]
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+
+    def skip_subblocks(p: int) -> int:
+        while payload[p] != 0:
+            p += 1 + payload[p]
+        return p + 1
+
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = payload[pos]
+                block = payload[pos + 1:pos + 1 + size]
+                disposal = (block[0] >> 2) & 7
+                transparent = block[3] if block[0] & 1 else None
+                pos = skip_subblocks(pos + 1 + size)
+            else:
+                pos = skip_subblocks(pos)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"corrupt GIF: unknown block 0x{b:02x}")
+        left, top, fw, fh, fflags = struct.unpack(
+            "<HHHHB", payload[pos:pos + 9]
+        )
+        pos += 9
+        table = gct
+        if fflags & 0x80:
+            n = 2 ** ((fflags & 7) + 1)
+            table = np.frombuffer(
+                payload[pos:pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("corrupt GIF: no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx_list = _lzw_decode(bytes(data), min_code)
+        if len(idx_list) < fw * fh:
+            raise ValueError("corrupt GIF: short index stream")
+        idx = np.array(idx_list[: fw * fh], np.int32).reshape(fh, fw)
+        if fflags & 0x40:
+            idx = _deinterlace(idx)
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[top:top + fh, left:left + fw]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = table[idx[mask] % len(table)]
+        else:
+            region[:, :] = table[idx % len(table)]
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[top:top + fh, left:left + fw] = (
+                gct[bg] if gct is not None and bg < len(gct) else 0
+            )
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        disposal = 0
+        transparent = None
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First composited frame (still-image view of the GIF)."""
+    frames = gif_frames(payload)
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames[0]
+
+
+def encode_gif(frames, interlace: bool = False,
+               clear_trick: bool = False,
+               disposals: list[int] | None = None,
+               transparent: int | None = None) -> bytes:
+    """Minimal GIF89a encoder (fixtures / export): one global palette
+    built from all frames' colors (≤256 distinct), full-canvas frames.
+    Exercised against the decoder both with real LZW and with the
+    independent ``clear_trick`` stream."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    h, w, _ = frames[0].shape
+    colors: dict[tuple, int] = {}
+    for f in frames:
+        for c in {tuple(px) for px in f.reshape(-1, 3)}:
+            colors.setdefault(c, len(colors))
+    if len(colors) > 256:
+        raise ValueError("encode_gif: >256 distinct colors")
+    depth = max(1, (len(colors) - 1).bit_length())
+    n = 1 << depth
+    palette = bytearray()
+    inv = sorted(colors, key=colors.get)
+    for c in inv:
+        palette += bytes(c)
+    palette += b"\x00\x00\x00" * (n - len(inv))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += palette
+    for fi, f in enumerate(frames):
+        disp = (disposals[fi] if disposals else 0) & 7
+        out += bytes([0x21, 0xF9, 4,
+                      (disp << 2) | (1 if transparent is not None else 0),
+                      0, 0, transparent or 0, 0])
+        fflags = 0x40 if interlace else 0
+        out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, fflags)
+        idx = np.array(
+            [[colors[tuple(px)] for px in row] for row in f], np.int32
+        )
+        if interlace:
+            idx = _interlace_rows(idx)
+        min_code = max(2, depth)
+        out += bytes([min_code])
+        data = _lzw_encode(idx.reshape(-1), min_code, clear_trick=clear_trick)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
@@ -218,11 +500,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_bmp(payload)
     if payload and payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if not fake:
         raise NotImplementedError(
-            "only uncompressed BMP and PNG decode natively; other image "
-            "codecs are not available in this environment — pass fake=True "
-            "for the deterministic stand-in"
+            "only uncompressed BMP, PNG and GIF decode natively; other "
+            "image codecs are not available in this environment — pass "
+            "fake=True for the deterministic stand-in"
         )
     digest = hashlib.sha256(payload or b"").digest()
     rng = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
@@ -308,10 +592,12 @@ def image_feature_pipeline(df, thumb: tuple[int, int] = (4, 4), fake: bool = Tru
 
 
 def frame_sample_pipeline(df, every_n: int = 4, n_frames: int = 3, fake: bool = True):
-    """Video frame sampling: emits ``n_frames`` pseudo-frames per payload
-    (each a deterministic digest of (payload, frame index)) — the Spark
-    plumbing for a real frame sampler: one input row fans out to N output
-    rows inside ``mapInPandas``."""
+    """Video frame sampling: one input row fans out to ≤ ``n_frames``
+    output rows inside ``mapInPandas``. Animated GIF payloads (the
+    container's video analog) sample REAL composited frames — every
+    ``every_n``-th frame, hashed from the decoded RGB bytes; other
+    payloads use the deterministic digest stand-in when ``fake=True``
+    (real video codecs aren't in this container)."""
     import pandas as pd
 
     def _batches(it):
@@ -319,6 +605,21 @@ def frame_sample_pipeline(df, every_n: int = 4, n_frames: int = 3, fake: bool = 
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
+                if data[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = gif_frames(data)
+                    for j in range(n_frames):
+                        idx = j * every_n
+                        if idx >= len(frames):
+                            break
+                        h = hashlib.sha256(frames[idx].tobytes()).hexdigest()
+                        out.append({"media_id": mid, "frame_idx": idx,
+                                    "frame_sha256": h})
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "only GIF frame extraction is native; pass "
+                        "fake=True for the digest stand-in"
+                    )
                 for j in range(n_frames):
                     idx = j * every_n
                     h = hashlib.sha256(data + idx.to_bytes(4, "big")).hexdigest()

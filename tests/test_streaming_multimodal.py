@@ -426,3 +426,96 @@ def test_crawl_follow_daemon(spark, tmp_path):
     crawl_follow(engine, ingest, max_ticks=10, idle_stop=2)
     seen2 = {r["url"] for r in engine.crawled().collect()}
     assert seen2 == seen | {"http://c.example/solo"}
+
+
+def test_gif_roundtrip_and_cross_encoder():
+    """GIF decodes for REAL: encode→decode is the identity under both the
+    table-building LZW encoder and the structurally independent
+    clear-trick encoder (decorrelates encoder/decoder bugs), including
+    palettes big enough to force LZW code-size growth, and interlacing."""
+    import numpy as np
+
+    from owlfrontier.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    for trial in range(10):
+        k = rng.randint(2, 200)
+        pal = rng.randint(0, 256, (k, 3)).astype(np.uint8)
+        img = pal[rng.randint(0, k, (rng.randint(1, 20), rng.randint(1, 20)))]
+        for ct in (False, True):
+            assert (decode_gif(encode_gif([img], clear_trick=ct)) == img).all()
+    pal4 = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 7, 7]], np.uint8)
+    tall = pal4[rng.randint(0, 4, (16, 5))]
+    assert (decode_gif(encode_gif([tall], interlace=True)) == tall).all()
+
+
+def test_gif_animation_transparency_disposal():
+    """Multi-frame compositing: paint-over animation, transparent pixels
+    keep the underlying canvas, disposal 2 restores the background before
+    the next frame."""
+    import numpy as np
+
+    from owlfrontier.multimodal import encode_gif, gif_frames
+
+    pal = np.array([[10, 0, 0], [0, 20, 0], [0, 0, 30]], np.uint8)
+    f0 = pal[np.zeros((4, 4), int)]
+    f1 = pal[np.ones((4, 4), int)]
+    frames = gif_frames(encode_gif([f0, f1]))
+    assert len(frames) == 2
+    assert (frames[0] == f0).all() and (frames[1] == f1).all()
+    # transparency: frame 1 is entirely the palette index the encoder
+    # assigns second (frame 0's color gets 0, frame 1's gets 1) and that
+    # index is declared transparent → the canvas keeps frame 0
+    t = gif_frames(encode_gif([f0, pal[np.full((4, 4), 2)]], transparent=1))
+    assert (t[1] == t[0]).all()
+    # the classic 1x1 transparent GIF found in the wild parses
+    classic = (b'GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00'
+               b'!\xf9\x04\x01\x00\x00\x00\x00,\x00\x00\x00\x00\x01\x00'
+               b'\x01\x00\x00\x02\x02D\x01\x00;')
+    assert gif_frames(classic)[0].shape == (1, 1, 3)
+
+
+def test_gif_corrupt_payloads_raise():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from owlfrontier.multimodal import decode_gif, encode_gif
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    good = encode_gif([pal[np.zeros((3, 3), int)]])
+    for bad in (b"GIF89a", good[:20], good[:-6] + b"\x07garbage"):
+        with _pytest.raises((ValueError, IndexError, struct.error)):
+            decode_gif(bad)
+
+
+def test_frame_sample_pipeline_real_gif_frames(spark):
+    """fake=False frame sampling over an ANIMATED GIF: real composited
+    frames flow through mapInPandas and are hashed from decoded RGB — and
+    the hashes match a local decode of the same payload."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from owlfrontier.multimodal import (
+        encode_gif,
+        frame_sample_pipeline,
+        gif_frames,
+    )
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    anim = encode_gif([pal[np.full((5, 5), i % 3)] for i in range(6)])
+    df = spark.createDataFrame(
+        [(1, bytearray(anim))], "media_id bigint, payload binary"
+    )
+    rows = {
+        r["frame_idx"]: r["frame_sha256"]
+        for r in frame_sample_pipeline(
+            df, every_n=2, n_frames=3, fake=False
+        ).collect()
+    }
+    local = gif_frames(anim)
+    assert set(rows) == {0, 2, 4}
+    for idx, sha in rows.items():
+        assert sha == _hl.sha256(local[idx].tobytes()).hexdigest()
