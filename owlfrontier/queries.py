@@ -1465,14 +1465,15 @@ def q_search_highlights(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column pipeline as a checked query (rows-only:
     image decode is not SQL-expressible): deterministic payloads derived
-    per doc_id — BMP for even ids, PNG for odd ids — decoded for REAL by
-    the stdlib codecs inside the ``mapInPandas`` feature pipeline
-    (multimodal.py), exercising a mixed-format media column the way a real
-    crawl store carries one."""
+    per doc_id — BMP (ids ≡ 0 mod 3), PNG (≡ 1), GIF (≡ 2, ≤256-color
+    quantized) — decoded for REAL by the stdlib codecs inside the
+    ``mapInPandas`` feature pipeline (multimodal.py), exercising a
+    mixed-format media column the way a real crawl store carries one."""
     import hashlib as _hl
 
     from owlfrontier.multimodal import (
         encode_bmp,
+        encode_gif,
         encode_png,
         image_feature_pipeline,
     )
@@ -1492,8 +1493,14 @@ def q_multimodal_features(spark, sf_dir):
                 img = np.frombuffer(
                     (digest * 6)[: 8 * 8 * 3], dtype=np.uint8
                 ).reshape(8, 8, 3)
-                enc = encode_bmp if int(mid) % 2 == 0 else encode_png
-                payloads.append(enc(img))
+                m = int(mid) % 3
+                if m == 0:
+                    payloads.append(encode_bmp(img))
+                elif m == 1:
+                    payloads.append(encode_png(img))
+                else:
+                    # GIF needs ≤256 colors: quantize to the high 3 bits
+                    payloads.append(encode_gif([(img >> 5) << 5]))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
