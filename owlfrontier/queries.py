@@ -1511,6 +1511,44 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video-analog frame sampling as a checked query (rows-only: codec
+    work is not SQL-expressible): a deterministic 4-frame animated GIF
+    per doc_id, REAL composited frames extracted by the stdlib GIF/LZW
+    decoder inside ``mapInPandas`` (every 2nd frame, 2 samples/doc) and
+    hashed from decoded RGB bytes — one input row fanning out to N
+    output rows, the video-pipeline shape."""
+    import hashlib as _hl
+
+    from owlfrontier.multimodal import encode_gif, frame_sample_pipeline
+
+    docs = _spread(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("media_id")
+    )
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                digest = _hl.sha256(str(int(mid)).encode()).digest()
+                base = np.frombuffer(
+                    (digest * 6)[: 6 * 6 * 3], dtype=np.uint8
+                ).reshape(6, 6, 3)
+                frames = [
+                    ((np.roll(base, k, axis=0) >> 5) << 5) for k in range(4)
+                ]
+                payloads.append(encode_gif(frames))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, "media_id bigint, payload binary")
+    return frame_sample_pipeline(media, every_n=2, n_frames=2, fake=False)
+
+
 def q_neardup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup: adjacent-id pairs scored by cosine over
     integer-quantized vectors (sums of quantized ints are order-stable and
@@ -1653,6 +1691,7 @@ QUERIES = {
     "search_phrase": q_search_phrase,
     "search_highlights": q_search_highlights,  # rows-only (pandas-UDF op)
     "multimodal_features": q_multimodal_features,  # rows-only (binary decode)
+    "frame_sample": q_frame_sample,  # rows-only (video-analog frame extraction)
     "neardup_embedding": q_neardup_embedding,
     "stats_rollup": q_stats_rollup,
     "events_daily": q_events_daily,

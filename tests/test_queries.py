@@ -13,7 +13,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # non-SQL-expressible ops: queries() entries with NO oracle — the driver
 # records the weaker rows-only check for these (pandas-UDF string work /
 # binary decode); their exact semantics are pinned by pytest goldens
-ROWS_ONLY = {"search_highlights", "multimodal_features"}
+ROWS_ONLY = {"search_highlights", "multimodal_features", "frame_sample"}
 
 
 def test_registry_complete():
