@@ -702,9 +702,16 @@ def q_ann_ivf_train(spark, sf_dir):
             for r in rows
         }
         cents = [new.get(cid, old) for cid, old in enumerate(cents)]
+    # Flattened to (cid, pos, value) scalar rows — array columns can't be
+    # hashed by the driver's pandas canonicalizer (round-2 verdict #1).
+    # pos is 1-based to match DuckDB's generate_subscripts.
     return spark.createDataFrame(
-        [(cid, c) for cid, c in enumerate(cents)],
-        "cid bigint, centroid array<bigint>",
+        [
+            (cid, pos + 1, v)
+            for cid, c in enumerate(cents)
+            for pos, v in enumerate(c)
+        ],
+        "cid bigint, pos bigint, value bigint",
     )
 
 
@@ -750,7 +757,8 @@ def _ivf_train_sql() -> str:
         )
     return (
         "WITH " + ",\n".join(parts)
-        + f"\nSELECT cid, ci AS centroid FROM c{_IVF_TRAIN_ITERS}"
+        + f"\nSELECT cid, generate_subscripts(ci, 1)::BIGINT AS pos, "
+        f"unnest(ci)::BIGINT AS value FROM c{_IVF_TRAIN_ITERS}"
     )
 
 

@@ -80,9 +80,11 @@ def test_ivf_training_reduces_quantization_error(spark):
         orig = Q._IVF_TRAIN_ITERS
         Q._IVF_TRAIN_ITERS = iters
         try:
+            cents = {}
+            for r in Q.q_ann_ivf_train(spark, SF_DIR).collect():
+                cents.setdefault(r["cid"], {})[r["pos"]] = r["value"]
             cents = {
-                r["cid"]: list(r["centroid"])
-                for r in Q.q_ann_ivf_train(spark, SF_DIR).collect()
+                cid: [d[p] for p in sorted(d)] for cid, d in cents.items()
             }
         finally:
             Q._IVF_TRAIN_ITERS = orig
