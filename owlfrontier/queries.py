@@ -1450,10 +1450,12 @@ GROUP BY a.doc_id
 
 def q_search_highlights(spark, sf_dir):
     """O16 full search surface — phrase hits over ``_all`` plus ES-config
-    highlight fragments (search.py; elastic_search.go:111-157). Non-SQL-
-    expressible (the fragmenter is an Arrow-vectorized pandas UDF), so the
-    driver records the weaker rows-only check; the string semantics are
-    pinned by pytest goldens instead."""
+    highlight fragments (search.py; elastic_search.go:111-157). At slop=0
+    the fragmenter is deterministic token/offset arithmetic, so this now
+    has a full DuckDB oracle (SQL_SEARCH_HIGHLIGHTS below: greedy 150-char
+    token-aligned chunking via a recursive CTE over a precomputed
+    next-boundary table); the slop=1 string semantics stay pinned by the
+    pytest goldens."""
     from owlfrontier.search import search_with_highlights
 
     docs = _docs(spark, sf_dir).select(
@@ -1468,6 +1470,100 @@ def q_search_highlights(spark, sf_dir):
         F.size("highlights").alias("n_fragments"),
         F.element_at("highlights", 1).alias("top_fragment"),
     )
+
+
+# The exact Python fragmenter (search.py:highlight_fragments) at slop=0 in
+# SQL. Single-line docs (the query wraps each document's text as one line),
+# so line_no is constant and fragment order is (-score, start_offset).
+# Greedy token-aligned chunking: for each chunk start i, the chunk end is
+# the greatest token j with end_char(j) - off(i) <= 150 (end_char is
+# monotone in pos, so greedy == max-fitting); chunk starts then follow by
+# a recursive CTE over that precomputed `nxt` table (no aggregates in the
+# recursive term — DuckDB restriction).
+SQL_SEARCH_HIGHLIGHTS = """
+WITH RECURSIVE docs AS (
+  SELECT 'doc:' || doc_id::VARCHAR AS url, string_split(text, ' ') AS toks
+  FROM documents
+),
+words AS (
+  SELECT url, generate_subscripts(toks, 1) AS pos, unnest(toks) AS word
+  FROM docs
+),
+starts AS (
+  SELECT a.url, a.pos AS s
+  FROM words a JOIN words b ON b.url = a.url AND b.pos = a.pos + 1
+  WHERE a.word = 'table' AND b.word = 'scan'
+),
+hits AS (
+  SELECT url, count(*)::BIGINT AS score FROM starts GROUP BY url
+  ORDER BY score DESC, url LIMIT 20
+),
+offs AS (
+  SELECT w.url, w.pos, w.word,
+         COALESCE(sum(len(w.word) + 1) OVER
+           (PARTITION BY w.url ORDER BY w.pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+         COALESCE(sum(len(w.word) + 1) OVER
+           (PARTITION BY w.url ORDER BY w.pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + len(w.word) AS endc
+  FROM words w JOIN hits h ON h.url = w.url
+),
+ntoks AS (SELECT url, max(pos) AS ntok FROM offs GROUP BY url),
+nxt AS (
+  SELECT o1.url, o1.pos AS i,
+         max(CASE WHEN o2.endc - o1.off <= 150
+                  THEN o2.pos ELSE o1.pos END) + 1 AS next_i
+  FROM offs o1 JOIN offs o2 ON o2.url = o1.url AND o2.pos >= o1.pos
+  GROUP BY o1.url, o1.pos
+),
+chunks(url, i) AS (
+  SELECT url, 1 FROM hits
+  UNION ALL
+  SELECT c.url, n.next_i
+  FROM chunks c
+  JOIN nxt n ON n.url = c.url AND n.i = c.i
+  JOIN ntoks t ON t.url = c.url
+  WHERE n.next_i <= t.ntok
+),
+cspan AS (
+  SELECT c.url, c.i, n.next_i - 1 AS j
+  FROM chunks c JOIN nxt n ON n.url = c.url AND n.i = c.i
+),
+tokagg AS (
+  SELECT c.url, c.i, min(o.off) AS start_off,
+         sum(CASE WHEN o.word IN ('table', 'scan') THEN 1 ELSE 0 END)
+           AS termcnt,
+         string_agg(CASE WHEN o.word IN ('table', 'scan')
+                    THEN '_-_strong_-_' || o.word || '_!-_strong_-_'
+                    ELSE o.word END, ' ' ORDER BY o.pos) AS rendered
+  FROM cspan c JOIN offs o ON o.url = c.url AND o.pos BETWEEN c.i AND c.j
+  GROUP BY c.url, c.i
+),
+startagg AS (
+  SELECT c.url, c.i, count(s.s) AS phr
+  FROM cspan c
+  LEFT JOIN starts s ON s.url = c.url AND s.s BETWEEN c.i AND c.j
+  GROUP BY c.url, c.i
+),
+ranked AS (
+  SELECT t.url, t.rendered,
+         row_number() OVER (PARTITION BY t.url
+                            ORDER BY 10 * sa.phr + t.termcnt DESC,
+                                     t.start_off ASC) AS rn
+  FROM tokagg t JOIN startagg sa ON sa.url = t.url AND sa.i = t.i
+  WHERE 10 * sa.phr + t.termcnt > 0
+),
+fragstats AS (
+  SELECT url, count(*) AS nf FROM ranked WHERE rn <= 3 GROUP BY url
+)
+SELECT h.url, h.score, COALESCE(f.nf, 0)::BIGINT AS n_fragments,
+       t.rendered AS top_fragment
+FROM hits h
+LEFT JOIN fragstats f ON f.url = h.url
+LEFT JOIN (SELECT url, rendered FROM ranked WHERE rn = 1) t
+  ON t.url = h.url
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1697,7 +1793,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "corpus_select": q_corpus_select,
     "search_phrase": q_search_phrase,
-    "search_highlights": q_search_highlights,  # rows-only (pandas-UDF op)
+    "search_highlights": q_search_highlights,
     "multimodal_features": q_multimodal_features,  # rows-only (binary decode)
     "frame_sample": q_frame_sample,  # rows-only (video-analog frame extraction)
     "neardup_embedding": q_neardup_embedding,
@@ -1736,6 +1832,7 @@ ORACLE = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_select": SQL_CORPUS_SELECT,
     "search_phrase": SQL_SEARCH_PHRASE,
+    "search_highlights": SQL_SEARCH_HIGHLIGHTS,
     "neardup_embedding": SQL_NEARDUP_EMBEDDING,
     "stats_rollup": SQL_STATS_ROLLUP,
     "events_daily": SQL_EVENTS_DAILY,
