@@ -336,11 +336,11 @@ class CrawlEngine:
     def _build_rules(self, robots_df: DataFrame) -> DataFrame:
         parsed = robots_df.select(
             "host", robots_rules_udf()(F.col("robots_txt")).alias("r")
-        ).select("host", "r.disallows", "r.crawl_delay")
+        ).select("host", "r.rules", "r.crawl_delay")
         # per-host rows, broadcast-joined every generation (gate + budget):
         # persist so the robots parse runs once, not once per action
         return parsed.where(
-            (F.size("disallows") > 0) | F.col("crawl_delay").isNotNull()
+            (F.size("rules") > 0) | F.col("crawl_delay").isNotNull()
         ).persist()
 
     def _host_budgets(self) -> DataFrame | None:
@@ -436,20 +436,37 @@ class CrawlEngine:
         return frontier.join(crawled_urls, "url", "left_anti")
 
     def _robots_gate(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """→ (allowed, blocked). Prefix-Disallow match via higher-order
-        ``exists`` — stays JVM-side; rules join broadcasts when small."""
+        """→ (allowed, blocked). RFC 9309 longest-match evaluation, fully
+        JVM-side via higher-order ``filter``/``transform``: keep the rules
+        whose pattern matches the path (plain ``startswith`` for the
+        common wildcard-free case, per-rule anchored regex otherwise),
+        then ``array_max`` over (pattern_len, allow_flag) structs picks
+        the longest match with Allow winning ties; blocked iff the winner
+        is a Disallow. Rules join broadcasts (host-level, small)."""
         if self._rules is None:
             return df, df.limit(0)
         joined = df.join(F.broadcast(self._rules), "host", "left")
         path_part = F.regexp_extract("url", PATH_REGEX, 1)
-        blocked_cond = F.col("disallows").isNotNull() & F.exists(
-            "disallows",
-            lambda d: F.startswith(
-                F.when(path_part == "", "/").otherwise(path_part), d
-            ),
+        path_col = F.when(path_part == "", "/").otherwise(path_part)
+        matched = F.filter(
+            "rules",
+            lambda r: F.when(
+                r["w"] == 1, F.regexp_like(path_col, r["rx"])
+            ).otherwise(path_col.startswith(r["pfx"])),
         )
-        allowed = joined.where(~blocked_cond).drop("disallows", "crawl_delay")
-        blocked = joined.where(blocked_cond).drop("disallows", "crawl_delay")
+        best = F.array_max(
+            F.transform(
+                matched,
+                lambda r: F.struct(r["l"].alias("l"), r["a"].alias("a")),
+            )
+        )
+        blocked_cond = (
+            F.col("rules").isNotNull()
+            & (F.size(matched) > 0)
+            & (best["a"] == 0)
+        )
+        allowed = joined.where(~blocked_cond).drop("rules", "crawl_delay")
+        blocked = joined.where(blocked_cond).drop("rules", "crawl_delay")
         return allowed, blocked
 
     def _generation(

@@ -203,6 +203,39 @@ def test_robots_gate(spark, tmp_path):
     assert "http://a.example/private/x" in golden_off.url_seen
 
 
+def test_robots_gate_rfc9309_allow_overrides(spark, tmp_path):
+    """RFC 9309 in the ENGINE gate: a longer Allow overrides a Disallow
+    prefix, a wildcard+anchor Disallow blocks by extension, and the
+    Spark higher-order-function evaluation matches the pure-Python
+    simulator exactly."""
+    pages = {
+        "http://a.example/root":
+            '<a href="/private/x">a</a><a href="/private/ok/y">b</a>'
+            '<a href="/cache.tmp">c</a><a href="/cache.tmpl">d</a>',
+        "http://a.example/private/x": "<p>secret</p>",
+        "http://a.example/private/ok/y": "<p>whitelisted</p>",
+        "http://a.example/cache.tmp": "<p>scratch</p>",
+        "http://a.example/cache.tmpl": "<p>template</p>",
+    }
+    seeds = ["http://a.example/root"]
+    robots_rows = [(
+        "a.example",
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "Disallow: /*.tmp$\n",
+    )]
+    golden = simulate_generations(
+        pages, seeds, robots=disallow_map(robots_rows)
+    )
+    engine, _ = _run(spark, tmp_path, pages, seeds,
+                     robots_rows=robots_rows, robots_enabled=True)
+    _check_equivalence(engine, golden)
+    assert "http://a.example/private/ok/y" in golden.url_seen  # Allow wins
+    assert "http://a.example/cache.tmpl" in golden.url_seen  # $ anchors
+    assert "http://a.example/private/x" not in golden.url_seen
+    assert "http://a.example/cache.tmp" not in golden.url_seen
+    assert golden.metrics[1]["robots_blocked"] == 2
+
+
 def test_duplicate_seeds_first_wins(spark, tmp_path):
     pages = {"http://a.example/p": "<p>x</p>"}
     seeds = ["http://a.example/p", "http://a.example/p"]

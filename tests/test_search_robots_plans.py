@@ -55,6 +55,58 @@ def test_is_allowed_prefix_semantics():
     assert is_allowed("http://h/", [])
 
 
+def test_rfc9309_longest_match_examples():
+    """RFC 9309 §2.2.2 / §5.2 worked examples: most-octets match wins;
+    Allow wins ties; no match ⇒ allowed."""
+    # Allow: /p vs Disallow: / — /page matches /p (2) over / (1) → allowed
+    r = [(True, "/p"), (False, "/")]
+    assert is_allowed("http://h/page", r)
+    assert not is_allowed("http://h/", r)
+    # equal-length tie → Allow (least restrictive) wins
+    r = [(True, "/folder"), (False, "/folder")]
+    assert is_allowed("http://h/folder/page", r)
+    # RFC §5.2: Allow: /example/page/ vs the longer specific Disallow
+    r = [(True, "/example/page/"), (False, "/example/page/disallowed.gif")]
+    assert not is_allowed("http://h/example/page/disallowed.gif", r)
+    assert is_allowed("http://h/example/page/index.html", r)
+
+
+def test_rfc9309_wildcards_and_anchor():
+    # * matches any octet sequence
+    r = [(False, "/fish*")]
+    assert not is_allowed("http://h/fish", r)
+    assert not is_allowed("http://h/fishheads/yummy.html", r)
+    assert is_allowed("http://h/Fish.asp", r)  # case-sensitive
+    # trailing $ anchors the end
+    r = [(False, "/*.php$")]
+    assert not is_allowed("http://h/filename.php", r)
+    assert not is_allowed("http://h/folder/filename.php", r)
+    assert is_allowed("http://h/filename.php5", r)
+    assert is_allowed("http://h/filename.php?parameters", r)
+    # wildcard Disallow outranks a shorter Allow by octet count
+    r = [(True, "/page"), (False, "/*.htm")]
+    assert not is_allowed("http://h/page.htm", r)
+    # Allow: /$ permits exactly the root while / blocks the rest
+    r = [(True, "/$"), (False, "/")]
+    assert is_allowed("http://h/", r)
+    assert not is_allowed("http://h/page.htm", r)
+    # inner $ is literal
+    r = [(False, "/a$b")]
+    assert not is_allowed("http://h/a$b/c", r)
+    assert is_allowed("http://h/ab", r)
+
+
+def test_rfc9309_allow_rules_parse():
+    from owlfrontier.robots import parse_rules
+
+    txt = ("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+           "Allow:\nDisallow:\n")
+    assert parse_rules(txt) == [(False, "/private"), (True, "/private/ok")]
+    assert parse_disallows(txt) == ["/private"]  # legacy surface unchanged
+    assert is_allowed("http://h/private/ok/page", parse_rules(txt))
+    assert not is_allowed("http://h/private/other", parse_rules(txt))
+
+
 # --- search over crawl output ------------------------------------------------
 
 
