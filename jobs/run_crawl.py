@@ -55,6 +55,16 @@ def main(argv: list[str]) -> int:
                     help="pages store is hash-bucketed by url (Iceberg "
                          "bucket(N,url) / CLUSTERED BY): SMJ, frontier-only shuffle")
     ap.add_argument("--light-metrics", action="store_true")
+    ap.add_argument("--partition-hist", action="store_true",
+                    help="record the per-partition write-spread histogram "
+                         "of each committed frontier (one extra job/gen)")
+    ap.add_argument("--maintain-index", action="store_true",
+                    help="append each generation's (word, url) postings "
+                         "partition — the incrementally maintained word "
+                         "index (query via CrawlEngine.word_index)")
+    ap.add_argument("--compact-every-n", type=int, default=None,
+                    help="auto-compact the crawled store whenever this many "
+                         "committed generation dirs/partitions accumulate")
     ap.add_argument("--compact", action="store_true",
                     help="after the crawl, merge committed crawled "
                          "generations into one dir (snapshot store; "
@@ -89,6 +99,9 @@ def main(argv: list[str]) -> int:
             use_bloom=use_bloom,
             bloom_shards=args.bloom_shards,
             light_metrics=args.light_metrics,
+            partition_hist=args.partition_hist,
+            maintain_index=args.maintain_index,
+            compact_every_n=args.compact_every_n,
             fetch_join="bucketed" if args.bucketed else "auto",
         ),
     )

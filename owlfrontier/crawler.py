@@ -98,6 +98,24 @@ class CrawlConfig:
     # collapse at 32 workers (gen wall 43 s → 492 s). rows × row-bytes
     # should stay ~10-20 MB per batch. None = leave the session conf alone.
     arrow_batch_rows: int | None = 1024
+    # per-partition write-spread histogram of each committed frontier
+    # (north_rule lineage/metrics surface). Costs one extra read-back job
+    # per generation, so it is opt-in; the capability is what the metric
+    # contract exposes, the cadence is the operator's call.
+    partition_hist: bool = False
+    # maintain the inverted word index incrementally: each generation
+    # appends its own (word, url) postings partition at the commit barrier
+    # — the CouchDB-view-per-write analog (couchdb.go:87-109); the index
+    # query then aggregates the postings table instead of re-tokenizing
+    # every crawled page (see CrawlEngine.word_index)
+    maintain_index: bool = False
+    # run SnapshotStore.compact()/IcebergStore.compact() at the generation
+    # barrier whenever the committed crawled-generation count reaches this
+    # many dirs/partitions. The per-generation expansion anti-join reads
+    # every committed generation, so an uncompacted 1000-generation crawl
+    # pays a 1000-dir listing + scan per generation; compaction bounds it.
+    # None = manual (call store.compact() yourself).
+    compact_every_n: int | None = None
 
 
 _FRONTIER_SCHEMA = ("url string, host string, path array<bigint>, "
@@ -180,8 +198,15 @@ class CrawlEngine:
                 return self._summary(crawled_gens, metrics)
             self.store.drop_uncommitted("crawled", crawled_gens)
             self.store.drop_uncommitted("frontier", list(range(g + 1)))
+            if self.config.maintain_index:
+                self.store.drop_uncommitted("postings", crawled_gens)
             frontier = self.store.read_gen("frontier", g)
             self._rebuild_bloom(crawled_gens)
+            # belt-and-braces for hand-built stores: frontiers THIS engine
+            # writes are already deduped against every crawled generation
+            # (expansion + add_seeds), so this folds into generation g's
+            # plan as a no-op filter rather than a per-generation job
+            frontier = self._dedup(frontier, crawled_gens)
         else:
             if seeds is None:
                 raise ValueError("need seeds for a fresh crawl")
@@ -204,6 +229,20 @@ class CrawlEngine:
             self.store.commit(g, metrics, empty, crawled_gens)
             if empty:
                 break
+            # auto-compaction at the generation barrier: bounds the dir /
+            # partition count the expansion anti-join re-reads every
+            # generation (a 10^10-URL crawl runs thousands of generations)
+            if (
+                cfg.compact_every_n
+                and len(crawled_gens) >= cfg.compact_every_n
+                and hasattr(self.store, "compact")
+            ):
+                res = self.store.compact()
+                if res.get("compacted"):
+                    crawled_gens = list(
+                        self.store.read_manifest()["crawled_generations"]
+                    )
+                    self._crawled_count = res["rows"]
             frontier = self.store.read_gen("frontier", g + 1)
             frontier_size = m["next_frontier"]
             g += 1
@@ -285,6 +324,33 @@ class CrawlEngine:
 
     def metrics(self) -> list[dict]:
         return self.store.read_metrics()
+
+    def word_index(self, posting_cap: int = 1000,
+                   salt_buckets: int = 16) -> DataFrame:
+        """O14 over the store: aggregates the incrementally maintained
+        postings table when ``maintain_index`` wrote one (each generation
+        contributed only its own documents — the reference's per-write
+        CouchDB view, couchdb.go:87-109), falling back to a full
+        recompute from the crawled pages otherwise. Both paths return
+        identical rows (tested)."""
+        from owlfrontier.search import (
+            word_index as full_recompute,
+        )
+        from owlfrontier.search import (
+            word_index_from_postings,
+        )
+
+        manifest = self.store.read_manifest()
+        gens = manifest["crawled_generations"] if manifest else []
+        posts = self.store.read_gens("postings", gens) if gens else None
+        if posts is not None:
+            return word_index_from_postings(posts, posting_cap, salt_buckets)
+        crawled = self.crawled()
+        if crawled is None:
+            return self.spark.createDataFrame(
+                [], "word string, doc_count bigint, urls array<string>"
+            )
+        return full_recompute(crawled, posting_cap, salt_buckets)
 
     # -- internals ------------------------------------------------------------
 
@@ -406,7 +472,14 @@ class CrawlEngine:
 
     def _dedup(self, frontier: DataFrame, crawled_gens: list[int]) -> DataFrame:
         """O3 — the three reference gates collapsed into one exact anti-join
-        with an optional broadcast-Bloom prefilter (SURVEY.md §4.3.1)."""
+        with an optional broadcast-Bloom prefilter (SURVEY.md §4.3.1).
+
+        Applied at EXPANSION time (the enqueue gate), so every committed
+        frontier snapshot is already clean and the hot loop scans the
+        crawled store once per generation, not twice — the dequeue-gate
+        re-check the reference needs (fetcher.go:96) is structurally
+        unnecessary here because nothing is crawled between a frontier's
+        write and its read."""
         crawled = self.store.read_crawled(crawled_gens)
         if crawled is None:
             return frontier
@@ -482,8 +555,10 @@ class CrawlEngine:
             and self._rules is None
         )
 
-        eligible = self._dedup(frontier, crawled_gens)
-        allowed, blocked = self._robots_gate(eligible)
+        # the frontier is already deduped against every crawled generation
+        # (written that way by expansion / add_seeds — see _dedup), so the
+        # generation goes straight to the robots gate
+        allowed, blocked = self._robots_gate(frontier)
         if not streamlined:
             allowed = allowed.persist()
         robots_blocked = blocked.count() if self._rules is not None else 0
@@ -562,28 +637,59 @@ class CrawlEngine:
             F.col("ex.doc_id").alias("doc_id"),
             "lang",
         )
-        # O6/O12: commit the generation (also breaks lineage for the loop)
+        # O6/O12: commit the generation (also breaks lineage for the loop).
+        # The fetched/parsed counts ride the write job as observed metrics
+        # — no separate count job, and the parsed count costs nothing extra
+        # because the rows are already materialized in the write tasks.
         import os as _os
         if _os.environ.get("OWLFRONTIER_EXPLAIN"):
             print(f"==== EXPLAIN crawled_g gen {g} ====")
             crawled_g.explain("formatted")
+        from pyspark.sql import Observation
+
+        obs_c = Observation()
+        crawled_g = crawled_g.observe(
+            obs_c,
+            F.count(F.lit(1)).alias("fetched"),
+            F.count("parsed_on").alias("parsed"),
+        )
         t = time.time()
         self.store.write_gen(crawled_g, "crawled", g)
+        counts = obs_c.get
+        fetched_count, parsed_count = counts["fetched"], counts["parsed"]
         timings = {"crawled_write": round(time.time() - t, 2)}
         crawled_g = self.store.read_gen("crawled", g)
+
+        # O14 incremental index maintenance: tokenize ONLY this
+        # generation's new documents and append their postings partition
+        # (urls are crawled exactly once, so generations are disjoint by
+        # url and the postings union is conflict-free)
+        if cfg.maintain_index and fetched_count:
+            from owlfrontier.search import postings_from_crawled
+
+            t = time.time()
+            self.store.write_gen(
+                postings_from_crawled(crawled_g), "postings", g
+            )
+            timings["postings_write"] = round(time.time() - t, 2)
+
+        # incremental Bloom maintenance — BEFORE expansion, so the
+        # expansion prefilter already covers generation g's URLs. Fixed
+        # geometry (sized at activation) makes every per-generation filter
+        # union-compatible — Bloom union is bitwise OR (SURVEY.md §4.3.1)
         t = time.time()
-        if cfg.light_metrics:
-            # metadata-only count (parquet footers); the parsed count would
-            # scan the parsed_on column — informational, skipped in light
-            # mode (one fewer driver-barrier job per generation)
-            fetched_count, parsed_count = crawled_g.count(), None
-        else:
-            counts = crawled_g.agg(
-                F.count(F.lit(1)).alias("fetched"),
-                F.count("parsed_on").alias("parsed"),
-            ).first()
-            fetched_count, parsed_count = counts["fetched"], counts["parsed"]
-        timings["agg"] = round(time.time() - t, 2)
+        self._crawled_count += fetched_count
+        if self._bloom_enabled() and fetched_count:
+            if self._bloom is None and crawled_gens:
+                # first activation mid-crawl: fold in everything crawled so
+                # far (geometry fixed now, sized from the live count)
+                add = self._build_bloom(
+                    self.store.read_crawled(crawled_gens + [g])
+                )
+            else:
+                add = self._build_bloom(crawled_g)
+            self._bloom = add if self._bloom is None else self._bloom.union(add)
+        timings["bloom"] = round(time.time() - t, 2)
 
         # O13: frontier expansion — posexplode preserves document order
         candidates = crawled_g.select(
@@ -596,32 +702,33 @@ class CrawlEngine:
             F.concat("path", F.array(F.col("pos").cast("bigint"))).alias("path"),
             F.col("parent_url").alias("discovered_from"),
         )
-        # enqueue-time dedup (O3): drop already-crawled, then first-wins
-        all_crawled = self.store.read_crawled(
-            crawled_gens + ([g] if fetched_count else [])
+        # enqueue-time dedup (O3, THE dedup pass — frontiers commit clean):
+        # Bloom-prefiltered exact anti-join, then first-wins per url
+        pool = self._dedup(
+            deferred.unionByName(candidates),
+            crawled_gens + ([g] if fetched_count else []),
         )
-        pool = deferred.unionByName(candidates)
-        if all_crawled is not None:
-            pool = pool.join(all_crawled.select("url"), "url", "left_anti")
         w = Window.partitionBy("url").orderBy(*fifo_order())
         next_frontier = (
             pool.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # write-then-count: the count comes from parquet footers, so the
-        # frontier is computed exactly once (no persist, no second pass)
+        # the next-frontier count rides the write job as an observed metric
+        # — the frontier is computed exactly once, counted for free
+        obs_f = Observation()
         t = time.time()
         self.store.write_gen(
-            self._partition_frontier(next_frontier), "frontier", g + 1
+            self._partition_frontier(next_frontier).observe(
+                obs_f, F.count(F.lit(1)).alias("n")
+            ),
+            "frontier",
+            g + 1,
         )
+        next_count = obs_f.get["n"]
         timings["frontier_write"] = round(time.time() - t, 2)
-        t = time.time()
-        written_frontier = self.store.read_gen("frontier", g + 1)
-        next_count = written_frontier.count()
-        timings["frontier_count"] = round(time.time() - t, 2)
         partition_hist = None
-        if not cfg.light_metrics:
+        if cfg.partition_hist and not cfg.light_metrics:
             # per-partition lineage/metrics (north_rule): row spread of the
             # committed frontier across the WRITE-side salted partitions.
             # Each write task emits one file, so counting rows per file
@@ -629,7 +736,8 @@ class CrawlEngine:
             # spark_partition_id() would reflect input-split packing, not
             # the salted write partitioning.
             hist = (
-                written_frontier.groupBy(F.input_file_name().alias("f"))
+                self.store.read_gen("frontier", g + 1)
+                .groupBy(F.input_file_name().alias("f"))
                 .count()
                 .collect()
             )
@@ -647,24 +755,6 @@ class CrawlEngine:
         for df_cached in self._gen_cache:
             df_cached.unpersist()
         self._gen_cache.clear()
-
-        # incremental Bloom maintenance: fixed geometry (sized for
-        # bloom_capacity keys) makes every per-generation filter
-        # union-compatible — Bloom union is bitwise OR (SURVEY.md §4.3.1)
-        t = time.time()
-        self._crawled_count += fetched_count
-        if self._bloom_enabled() and fetched_count:
-            if self._bloom is None and crawled_gens:
-                # first activation mid-crawl: fold in everything crawled so
-                # far (geometry fixed now, sized from the live count)
-                add = self._build_bloom(
-                    self.store.read_crawled(crawled_gens + [g])
-                )
-            else:
-                add = self._build_bloom(crawled_g)
-            self._bloom = add if self._bloom is None else self._bloom.union(add)
-
-        timings["bloom"] = round(time.time() - t, 2)
         m = {
             "generation": g,
             "timings": timings,

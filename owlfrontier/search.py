@@ -47,24 +47,33 @@ def _all_lines_col(df: DataFrame):
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
-def word_index(crawled: DataFrame, posting_cap: int = 1000,
-               salt_buckets: int = 16) -> DataFrame:
-    """O14: (word, doc_count, urls) — the inverted index.
+def postings_from_crawled(crawled: DataFrame) -> DataFrame:
+    """(word, url) postings — the INCREMENTAL unit of the word index.
 
-    ``doc_count`` is exact; ``urls`` is the first ``posting_cap`` URLs
-    (sorted) — an UNBOUNDED posting list per word is a 100 TB hazard (a
-    stopword's array would hold every document). The cap is computed with
-    a salted two-phase top-k (local top-k per (word, salt), then global),
-    so a hot word's rows never land in one window partition — the same
-    skew-defusing shape as the politeness budget."""
-    from pyspark.sql import Window
-
-    words = (
+    The reference's CouchDB view is maintained per document write
+    (couchdb.go:87-109: emit() runs on each new doc, the B-tree merges);
+    the Spark-idiomatic analog runs this projection once per newly
+    crawled GENERATION and appends the result as that generation's
+    postings partition (``CrawlConfig.maintain_index``). Documents are
+    crawled exactly once (first-wins dedup), so per-generation postings
+    are disjoint by url and the union over generations equals a full
+    recompute — no merge conflicts by construction."""
+    return (
         crawled.select("url", F.explode("text").alias("line"))
         .select("url", F.explode(F.split("line", " ")).alias("word"))
         .where(F.length("word") > 2)
         .dropDuplicates(["word", "url"])
     )
+
+
+def word_index_from_postings(postings: DataFrame, posting_cap: int = 1000,
+                             salt_buckets: int = 16) -> DataFrame:
+    """(word, doc_count, urls) from a (word, url) postings table — the
+    aggregation half of O14, shared by the full recompute and the
+    incremental (per-generation-appended) index."""
+    from pyspark.sql import Window
+
+    words = postings
     counts = words.groupBy("word").agg(
         F.count(F.lit(1)).alias("doc_count")
     )
@@ -82,10 +91,25 @@ def word_index(crawled: DataFrame, posting_cap: int = 1000,
         local.withColumn("_rn", F.row_number().over(w_global))
         .where(F.col("_rn") <= posting_cap)
     )
-    postings = top.groupBy("word").agg(
+    capped = top.groupBy("word").agg(
         F.sort_array(F.collect_list("url")).alias("urls")
     )
-    return counts.join(postings, "word")
+    return counts.join(capped, "word")
+
+
+def word_index(crawled: DataFrame, posting_cap: int = 1000,
+               salt_buckets: int = 16) -> DataFrame:
+    """O14: (word, doc_count, urls) — the inverted index (full recompute).
+
+    ``doc_count`` is exact; ``urls`` is the first ``posting_cap`` URLs
+    (sorted) — an UNBOUNDED posting list per word is a 100 TB hazard (a
+    stopword's array would hold every document). The cap is computed with
+    a salted two-phase top-k (local top-k per (word, salt), then global),
+    so a hot word's rows never land in one window partition — the same
+    skew-defusing shape as the politeness budget."""
+    return word_index_from_postings(
+        postings_from_crawled(crawled), posting_cap, salt_buckets
+    )
 
 
 def index_stats(crawled: DataFrame) -> DataFrame:

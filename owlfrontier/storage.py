@@ -101,13 +101,23 @@ class SnapshotStore:
     def read_gen(self, table: str, gen: int):
         return self.spark.read.parquet(self._gen_dir(table, gen))
 
-    def read_crawled(self, gens: list[int]):
-        """Union of committed crawled generations (manifest-scoped read —
-        orphan dirs from crashed generations are invisible)."""
+    def read_gens(self, table: str, gens: list[int]):
+        """Union of the given committed generations of ``table``
+        (manifest-scoped read — orphan dirs from crashed generations are
+        invisible). Missing dirs are skipped: side tables like postings
+        may cover only the generations since their feature was enabled."""
         if not gens:
             return None
-        paths = [self._gen_dir("crawled", g) for g in gens]
+        paths = [
+            p for g in gens
+            if os.path.isdir(p := self._gen_dir(table, g))
+        ]
+        if not paths:
+            return None
         return self.spark.read.parquet(*paths)
+
+    def read_crawled(self, gens: list[int]):
+        return self.read_gens("crawled", gens)
 
     def drop_uncommitted(self, table: str, committed: list[int]) -> None:
         tdir = os.path.join(self.root, table)
@@ -142,6 +152,11 @@ class SnapshotStore:
         combined = self.read_crawled(gens).repartition(n_files)
         self.write_gen(combined, "crawled", target)
         rows = self.read_gen("crawled", target).count()  # verify readable
+        # side tables keyed by the same generation ids (the incremental
+        # word index) compact in the same swap
+        posts = self.read_gens("postings", gens)
+        if posts is not None:
+            self.write_gen(posts.repartition(n_files), "postings", target)
         self.commit(
             manifest["generation"],
             self.read_metrics(),
@@ -150,6 +165,7 @@ class SnapshotStore:
         )  # the atomic swap point
         for g in gens:
             shutil.rmtree(self._gen_dir("crawled", g), ignore_errors=True)
+            shutil.rmtree(self._gen_dir("postings", g), ignore_errors=True)
         return {"compacted": True, "merged": len(gens),
                 "target": target, "rows": rows}
 
@@ -206,9 +222,15 @@ class IcebergStore:
 
     def commit(self, generation: int, metrics: list[dict],
                frontier_empty: bool, crawled_gens: list[int]) -> None:
-        row = [(generation, frontier_empty, json.dumps(crawled_gens))]
+        # commit_seq totally orders commits: compaction re-commits AT the
+        # same generation with a different crawled_gens list, so ordering
+        # by generation alone would leave the manifest read ambiguous
+        seq = self._next_commit_seq()
+        row = [(seq, generation, frontier_empty, json.dumps(crawled_gens))]
         df = self.spark.createDataFrame(
-            row, "generation int, frontier_empty boolean, crawled_gens string"
+            row,
+            "commit_seq bigint, generation int, frontier_empty boolean, "
+            "crawled_gens string",
         )
         if self._exists("meta"):
             df.writeTo(self._t("meta")).append()  # atomic snapshot == commit
@@ -223,17 +245,26 @@ class IcebergStore:
         else:
             mdf.writeTo(self._t("metrics")).using("iceberg").create()
 
+    def _next_commit_seq(self) -> int:
+        if not self._exists("meta"):
+            return 0
+        from pyspark.sql import functions as F
+
+        row = self.spark.table(self._t("meta")).agg(
+            F.max("commit_seq").alias("m")
+        ).first()
+        return (row["m"] if row and row["m"] is not None else -1) + 1
+
     def read_manifest(self) -> dict | None:
         if not self._exists("meta"):
             return None
         from pyspark.sql import functions as F
 
-        # latest commit = max(generation): one commit per generation, and a
-        # deterministic re-run of a crashed generation appends an identical
-        # row, so the tie is harmless
+        # latest commit = max(commit_seq) — a total order even when
+        # compaction appends a second commit for the same generation
         rows = (
             self.spark.table(self._t("meta"))
-            .orderBy(F.col("generation").desc())
+            .orderBy(F.col("commit_seq").desc())
             .limit(1)
             .collect()
         )
@@ -275,16 +306,19 @@ class IcebergStore:
             .drop("generation")
         )
 
-    def read_crawled(self, gens: list[int]):
+    def read_gens(self, table: str, gens: list[int]):
         from pyspark.sql import functions as F
 
-        if not gens or not self._exists("crawled"):
+        if not gens or not self._exists(table):
             return None
         return (
-            self.spark.table(self._t("crawled"))
-            .where(F.col("generation").isin(gens))
+            self.spark.table(self._t(table))
+            .where(F.col("generation").isin(gens))  # partition-pruned
             .drop("generation")
         )
+
+    def read_crawled(self, gens: list[int]):
+        return self.read_gens("crawled", gens)
 
     def drop_uncommitted(self, table: str, committed: list[int]) -> None:
         if not self._exists(table):
@@ -294,6 +328,44 @@ class IcebergStore:
         self.spark.sql(
             f"DELETE FROM {self._t(table)} WHERE generation NOT IN ({keep})"
         )
+
+    _COMPACT_BASE = 1_000_000  # above any real generation number
+
+    def compact(self, n_files: int = 8) -> dict:
+        """The ``rewrite_data_files`` analog on the generation axis: merge
+        every committed crawled generation into ONE partition and swap it
+        in through the commit protocol (the meta append is the atomic
+        point; Iceberg reads pin a snapshot, so reading `crawled` while
+        overwriting its partitions is safe). Row content — including each
+        row's original ``gen_fetched`` — is unchanged."""
+        manifest = self.read_manifest()
+        gens = list(manifest["crawled_generations"]) if manifest else []
+        if len(gens) <= 1:
+            return {"compacted": False, "merged": 0}
+        target = self._COMPACT_BASE + max(gens) + 1
+        combined = self.read_crawled(gens).repartition(n_files)
+        self.write_gen(combined, "crawled", target)
+        rows = self.read_gen("crawled", target).count()  # verify readable
+        posts = self.read_gens("postings", gens)
+        if posts is not None:
+            self.write_gen(posts.repartition(n_files), "postings", target)
+        self.commit(
+            manifest["generation"],
+            self.read_metrics(),
+            manifest["frontier_empty"],
+            [target],
+        )  # the atomic swap point
+        drop = ", ".join(str(g) for g in gens)
+        self.spark.sql(
+            f"DELETE FROM {self._t('crawled')} WHERE generation IN ({drop})"
+        )
+        if posts is not None:
+            self.spark.sql(
+                f"DELETE FROM {self._t('postings')} "
+                f"WHERE generation IN ({drop})"
+            )
+        return {"compacted": True, "merged": len(gens),
+                "target": target, "rows": rows}
 
 
 def resolve_store(spark, spec: str):

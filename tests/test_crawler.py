@@ -26,7 +26,8 @@ def _mini_pages(spark, pages: dict):
 
 
 def _run(spark, tmp_path, pages, seeds, robots_rows=None, **cfg_kwargs):
-    kwargs = dict(salt_buckets=2, frontier_partitions=4, use_bloom=False)
+    kwargs = dict(salt_buckets=2, frontier_partitions=4, use_bloom=False,
+                  partition_hist=True)
     kwargs.update(cfg_kwargs)
     cfg = CrawlConfig(**kwargs)
     robots = None
@@ -102,11 +103,13 @@ def test_light_metrics_identical_crawl(spark, tmp_path):
         assert crawled[url]["text_json"] == text_json, url
     assert summary["crawled"] == len(golden.url_seen)
     # the exact counts light mode keeps still match the simulator; the
-    # informational ones (each a separate count job) are skipped as None
+    # informational ones (each a separate count job) are skipped as None.
+    # fetched/parsed/next_frontier ride the write jobs as observed metrics
+    # so they are exact in every mode at zero extra jobs
     for m, s in zip(engine.metrics(), golden.metrics):
         assert m["fetched"] == s["fetched"]
         assert m["next_frontier"] == s["next_frontier"]
-        assert m["parsed"] is None  # skipped column-scan job (bench mode)
+        assert m["parsed"] == s["parsed"]
         assert m["eligible"] is None and m["selected"] is None
         assert m["frontier_partition_hist"] is None
 
@@ -257,7 +260,7 @@ def test_resume_identical_to_uninterrupted(spark, tmp_path):
 
     # interrupted after 2 generations, then resumed with a FRESH engine
     cfg = dict(politeness_k=3, salt_buckets=2, frontier_partitions=4,
-               use_bloom=False)
+               use_bloom=False, partition_hist=True)
     part_engine = CrawlEngine(
         spark, pdf, str(tmp_path / "part" / "store"),
         config=CrawlConfig(max_generations=2, **cfg),
@@ -326,7 +329,7 @@ def test_resume_with_bloom_rebuild(spark, tmp_path):
     pdf = pages_df(spark, rows)
     golden = simulate_generations(pages_map(rows), seeds)
 
-    cfg = dict(salt_buckets=2, frontier_partitions=4,
+    cfg = dict(salt_buckets=2, frontier_partitions=4, partition_hist=True,
                use_bloom=True, bloom_auto_threshold=0, bloom_capacity=10_000)
     part = CrawlEngine(spark, pdf, str(tmp_path / "store"),
                        config=CrawlConfig(max_generations=2, **cfg))
@@ -587,6 +590,47 @@ def test_salted_partitioning_defuses_hot_host(spark):
     # salting spread: no single partition carries the hot host whole
     assert max(sizes) < hot * 0.6
     assert len(sizes) >= 12  # rows actually spread across partitions
+
+
+def test_incremental_word_index_equals_recompute(spark, tmp_path):
+    """O14 incremental maintenance (couchdb.go:87-109 analog): the
+    per-generation-appended postings index after a multi-generation crawl
+    + live add_seeds resume + mid-crawl compaction equals the full
+    recompute from the crawled pages, row for row."""
+    from owlfrontier.search import word_index as full_recompute
+
+    rows, seeds = gen_site(n_pages=40, n_hosts=3, seed=13)
+    pdf = pages_df(spark, rows)
+    engine, _ = _run(spark, tmp_path, pdf, seeds, politeness_k=2,
+                     maintain_index=True, compact_every_n=2,
+                     max_generations=3)  # stop mid-crawl
+    crawled_so_far = {r["url"] for r in engine.crawled().collect()}
+    unseen = sorted(r["url"] for r in rows
+                    if r["url"] not in crawled_so_far)[:2]
+    assert unseen  # the partial crawl left pages to inject
+    assert engine.add_seeds(unseen) >= 1
+    cfg = dict(salt_buckets=2, frontier_partitions=4, use_bloom=False,
+               partition_hist=True, politeness_k=2, maintain_index=True,
+               compact_every_n=2, max_generations=100)
+    engine = CrawlEngine(spark, pdf, str(tmp_path / "store"),
+                         config=CrawlConfig(**cfg))
+    engine.run(resume=True)
+
+    def rowset(df):
+        return sorted(
+            (r["word"], r["doc_count"], tuple(r["urls"]))
+            for r in df.collect()
+        )
+
+    incremental = rowset(engine.word_index())
+    recomputed = rowset(full_recompute(engine.crawled()))
+    assert incremental == recomputed
+    assert len(incremental) > 0
+    # the incremental path actually used the postings table
+    manifest = engine.store.read_manifest()
+    assert engine.store.read_gens(
+        "postings", manifest["crawled_generations"]
+    ) is not None
 
 
 def test_robots_from_pages_gates_crawl(spark, tmp_path):

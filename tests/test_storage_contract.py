@@ -160,3 +160,42 @@ def test_compact_preserves_content_and_resume(spark, tmp_path):
     # dedup still holds: no url crawled twice across compaction + resume
     urls = [r["url"] for r in eng2.crawled().collect()]
     assert len(urls) == len(set(urls))
+
+
+def test_auto_compaction_cadence_long_crawl(spark, tmp_path):
+    """CrawlConfig.compact_every_n: a 30+-generation crawl (politeness k=1
+    forces one URL per host per generation) compacts at the generation
+    barrier, keeping the crawled dir count bounded while crawl order,
+    seen set, and dedup identity stay exactly equal to the oracle."""
+    import os
+
+    from owlfrontier.crawler import CrawlConfig, CrawlEngine
+    from owlfrontier.fixtures import gen_site, pages_df, pages_map
+    from owlfrontier.simulate import simulate_generations
+
+    rows, seeds = gen_site(n_pages=60, n_hosts=2, seed=11)
+    golden = simulate_generations(pages_map(rows), seeds, politeness_k=1,
+                                  max_generations=100)
+    n_gens = len(golden.metrics)
+    assert n_gens >= 30  # the scenario actually exercises a long crawl
+
+    store_root = str(tmp_path / "store")
+    eng = CrawlEngine(
+        spark, pages_df(spark, rows), store_root,
+        config=CrawlConfig(politeness_k=1, max_generations=100,
+                           salt_buckets=2, frontier_partitions=4,
+                           use_bloom=False, light_metrics=True,
+                           compact_every_n=5),
+    )
+    eng.run(seeds=seeds)
+    gen_dirs = sorted(os.listdir(os.path.join(store_root, "crawled")))
+    assert len(gen_dirs) <= 6  # bounded by the cadence, not by n_gens
+    # identity despite repeated compaction mid-crawl
+    assert [(r["seq"], r["generation"], r["url"])
+            for r in eng.crawl_order().collect()] == golden.crawl_order
+    crawled = {r["url"] for r in eng.crawled().collect()}
+    assert crawled == golden.url_seen
+    urls = [r["url"] for r in eng.crawled().collect()]
+    assert len(urls) == len(set(urls))
+    # resume + live seeding still work on the compacted store
+    assert eng.add_seeds(list(sorted(golden.url_seen))[:3]) == 0  # all dup
