@@ -632,24 +632,20 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1
 _IVF_TRAIN_ITERS = 3
 
 
-def q_ann_ivf_train(spark, sf_dir):
-    """IVF codebook TRAINING — integer-exact Lloyd k-means (3 iterations,
-    K = _IVF_K, init = first K vectors), upgrading the assign/search
-    queries' "first-K stand-in" to an actually trained codebook.
+def _cent_literal(cents: list[list[int]]) -> str:
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v}L" for v in c) + ")" for c in cents
+        )
+        + ")"
+    )
 
-    Engine-exactness, like pagerank: float k-means sums coordinates in
-    partition order and drifts run-to-run; here vectors are quantized
-    bigints, per-cluster centroids are truncated integer means, and every
-    step is associative — the trained codebook is bit-identical at any
-    cluster size and hash-matches an unrolled-iteration DuckDB oracle.
 
-    Scale shape per iteration: assignment is a per-row argmin fold over
-    the broadcast codebook literal (zero shuffle, zero row
-    multiplication); the update is ONE groupBy(cid) with dim+1 column
-    sums (single shuffle of K×(dim+1) partial aggregates — never a
-    dims× row explosion); only the K×dim codebook transits the driver,
-    which is how every distributed k-means carries its centroids. Empty
-    clusters keep their previous centroid."""
+def _quantized_embeddings(spark, sf_dir):
+    """(vec_id, xi array<bigint>) — embeddings quantized to integer
+    micro-units so every distance/mean is associative and bit-identical
+    at any cluster size (shared by the IVF training variants)."""
     e = _emb(spark, sf_dir)
     first = e.select(F.size("embedding").alias("d")).first()
     dim = first["d"] if first is not None else 0
@@ -660,24 +656,20 @@ def q_ann_ivf_train(spark, sf_dir):
             "cast(round(cast(x as double) * 1000000.0D) as bigint))"
         ).alias("xi"),
     ).localCheckpoint(eager=True)
-    cents = [
-        list(r["xi"])
-        for r in quant.where(F.col("vec_id") < _IVF_K)
-        .orderBy("vec_id").collect()
-    ]
+    return quant, dim
+
+
+def _lloyd_train(quant, dim: int, cents: list[list[int]],
+                 iters: int) -> list[list[int]]:
+    """Integer-exact Lloyd iterations from a given codebook (see
+    q_ann_ivf_train for the scale shape per iteration)."""
 
     def trunc_div(s: int, n: int) -> int:
         # truncate toward zero — matches DuckDB's integer `//`
         return s // n if s >= 0 else -((-s) // n)
 
-    for _ in range(_IVF_TRAIN_ITERS):
-        cent_sql = (
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{v}L" for v in c) + ")" for c in cents
-            )
-            + ")"
-        )
+    for _ in range(iters):
+        cent_sql = _cent_literal(cents)
         dists = (
             f"transform({cent_sql}, c -> aggregate("
             f"zip_with(xi, c, (a, b) -> (a - b) * (a - b)), "
@@ -702,6 +694,10 @@ def q_ann_ivf_train(spark, sf_dir):
             for r in rows
         }
         cents = [new.get(cid, old) for cid, old in enumerate(cents)]
+    return cents
+
+
+def _flatten_codebook(spark, cents: list[list[int]]):
     # Flattened to (cid, pos, value) scalar rows — array columns can't be
     # hashed by the driver's pandas canonicalizer (round-2 verdict #1).
     # pos is 1-based to match DuckDB's generate_subscripts.
@@ -715,16 +711,131 @@ def q_ann_ivf_train(spark, sf_dir):
     )
 
 
-def _ivf_train_sql() -> str:
+def q_ann_ivf_train(spark, sf_dir):
+    """IVF codebook TRAINING — integer-exact Lloyd k-means (3 iterations,
+    K = _IVF_K, init = first K vectors), upgrading the assign/search
+    queries' "first-K stand-in" to an actually trained codebook.
+
+    Engine-exactness, like pagerank: float k-means sums coordinates in
+    partition order and drifts run-to-run; here vectors are quantized
+    bigints, per-cluster centroids are truncated integer means, and every
+    step is associative — the trained codebook is bit-identical at any
+    cluster size and hash-matches an unrolled-iteration DuckDB oracle.
+
+    Scale shape per iteration: assignment is a per-row argmin fold over
+    the broadcast codebook literal (zero shuffle, zero row
+    multiplication); the update is ONE groupBy(cid) with dim+1 column
+    sums (single shuffle of K×(dim+1) partial aggregates — never a
+    dims× row explosion); only the K×dim codebook transits the driver,
+    which is how every distributed k-means carries its centroids. Empty
+    clusters keep their previous centroid."""
+    quant, dim = _quantized_embeddings(spark, sf_dir)
+    cents = [
+        list(r["xi"])
+        for r in quant.where(F.col("vec_id") < _IVF_K)
+        .orderBy("vec_id").collect()
+    ]
+    cents = _lloyd_train(quant, dim, cents, _IVF_TRAIN_ITERS)
+    return _flatten_codebook(spark, cents)
+
+
+def _seed_farthest_first(quant, k: int) -> list[list[int]]:
+    """Deterministic distributed seeding — farthest-first traversal
+    (Gonzalez's k-center 2-approximation): start from the lowest vec_id,
+    then k-1 rounds each pick the vector maximizing the MIN squared
+    distance to the chosen set (ties: lowest vec_id).
+
+    This is the integer-exact stand-in for k-means‖'s distance²-weighted
+    oversampling (Bahmani et al.): the same "spread the initial centers
+    by distance mass" idea, with the random draw replaced by the argmax
+    so a DuckDB oracle can reproduce the codebook bit-for-bit. Scale
+    shape per round: one per-row array fold over the broadcast chosen-set
+    literal + a TakeOrdered top-1 (no shuffle, no full sort); only K×dim
+    values ever transit the driver."""
+    first = quant.orderBy("vec_id").select("xi").first()
+    cents = [list(first["xi"])]
+    for _ in range(k - 1):
+        cent_sql = _cent_literal(cents)
+        mind = (
+            f"array_min(transform({cent_sql}, c -> aggregate("
+            f"zip_with(xi, c, (a, b) -> (a - b) * (a - b)), "
+            f"cast(0 as bigint), (acc, t) -> acc + t)))"
+        )
+        row = (
+            quant.select("vec_id", "xi", F.expr(mind).alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .first()
+        )
+        cents.append(list(row["xi"]))
+    return cents
+
+
+def q_ann_ivf_train_ff(spark, sf_dir):
+    """IVF codebook training with DISTRIBUTED farthest-first seeding
+    (_seed_farthest_first) instead of the first-K prefix init — the
+    init-quality upgrade: the prefix init can start with K near-identical
+    vectors, farthest-first provably spreads them. Same integer-exact
+    Lloyd iterations afterwards; oracle-checked end to end (seeding
+    included) against unrolled DuckDB CTEs."""
+    quant, dim = _quantized_embeddings(spark, sf_dir)
+    cents = _seed_farthest_first(quant, _IVF_K)
+    cents = _lloyd_train(quant, dim, cents, _IVF_TRAIN_ITERS)
+    return _flatten_codebook(spark, cents)
+
+
+_DUCK_DIST2 = (
+    "list_sum([(q.xi[i] - {c}[i]) * (q.xi[i] - {c}[i]) "
+    "for i in generate_series(1, len(q.xi))])"
+)
+
+
+def _ff_seed_parts() -> list[str]:
+    """Unrolled farthest-first seeding CTEs (mirrors _seed_farthest_first):
+    u{r} accumulates the chosen set; e{r} computes each vector's min
+    squared distance to it; s{r} is the deterministic argmax pick."""
+    # fs/fu/fe prefixes: the Lloyd iteration CTEs already use u{k}/etc.
+    parts = [
+        "fs0 AS (SELECT vec_id, xi FROM q ORDER BY vec_id LIMIT 1)",
+        "fu0 AS (SELECT xi FROM fs0)",
+    ]
+    d = _DUCK_DIST2.format(c="u.xi")
+    for r in range(1, _IVF_K):
+        parts.append(
+            f"fe{r} AS (SELECT q.vec_id, any_value(q.xi) AS xi, "
+            f"min({d})::BIGINT AS d "
+            f"FROM q CROSS JOIN fu{r - 1} u GROUP BY q.vec_id)"
+        )
+        parts.append(
+            f"fs{r} AS (SELECT vec_id, xi FROM fe{r} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"fu{r} AS (SELECT xi FROM fu{r - 1} "
+            f"UNION ALL SELECT xi FROM fs{r})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS cid, xi AS ci FROM fs{r}" for r in range(_IVF_K)
+    )
+    parts.append(f"c0 AS ({union})")
+    return parts
+
+
+def _ivf_train_sql(seed_parts: list[str] | None = None) -> str:
     """Unrolled Lloyd iterations in DuckDB: same init, same quantization,
     same truncating integer mean (`//`), empty clusters keep the previous
-    centroid via LEFT JOIN + COALESCE."""
+    centroid via LEFT JOIN + COALESCE. ``seed_parts`` supplies the CTEs
+    defining ``c0`` (default: the first-K prefix init)."""
     parts = [
         "q AS (SELECT vec_id, [round(x::DOUBLE * 1e6)::BIGINT "
         "for x in embedding] AS xi FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, xi AS ci FROM q "
-        f"WHERE vec_id < {_IVF_K})",
-    ]
+    ] + (
+        seed_parts
+        if seed_parts is not None
+        else [
+            f"c0 AS (SELECT vec_id AS cid, xi AS ci FROM q "
+            f"WHERE vec_id < {_IVF_K})"
+        ]
+    )
     for k in range(_IVF_TRAIN_ITERS):
         parts.append(
             f"d{k} AS (SELECT q.vec_id, c.cid, "
@@ -763,6 +874,7 @@ def _ivf_train_sql() -> str:
 
 
 SQL_ANN_IVF_TRAIN = _ivf_train_sql()
+SQL_ANN_IVF_TRAIN_FF = _ivf_train_sql(_ff_seed_parts())
 
 
 _IVF_NPROBE = 2
@@ -1783,6 +1895,7 @@ QUERIES = {
     "ann_lsh_pairs": q_ann_lsh_pairs,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_train": q_ann_ivf_train,
+    "ann_ivf_train_ff": q_ann_ivf_train_ff,
     "ann_ivf_topk": q_ann_ivf_topk,
     "pagerank": q_pagerank,
     "order_seq": q_order_seq,
@@ -1822,6 +1935,7 @@ ORACLE = {
     "ann_lsh_pairs": SQL_ANN_LSH_PAIRS,
     "ann_ivf_assign": SQL_ANN_IVF_ASSIGN,
     "ann_ivf_train": SQL_ANN_IVF_TRAIN,
+    "ann_ivf_train_ff": SQL_ANN_IVF_TRAIN_FF,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "pagerank": SQL_PAGERANK,
     "order_seq": SQL_ORDER_SEQ,

@@ -13,7 +13,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # non-SQL-expressible ops: queries() entries with NO oracle — the driver
 # records the weaker rows-only check for these (pandas-UDF string work /
 # binary decode); their exact semantics are pinned by pytest goldens
-ROWS_ONLY = {"search_highlights", "multimodal_features", "frame_sample"}
+ROWS_ONLY = {"multimodal_features", "frame_sample"}
 
 
 def test_registry_complete():
@@ -72,41 +72,58 @@ def test_sample_stratified_is_nested_and_stratified(spark):
 def test_ivf_training_reduces_quantization_error(spark):
     """Lloyd iterations must not worsen the objective: total squared
     distance from each vector to its nearest centroid shrinks (or holds)
-    as iterations increase, and the trained codebook beats the untrained
-    first-K init."""
+    as iterations increase; training beats both untrained inits; and the
+    farthest-first seeding (the k-means‖-style distributed init) spreads
+    the initial centers better than the first-K prefix while producing a
+    DIFFERENT trained codebook (Lloyd is init-sensitive — both variants
+    stay oracle-checkable)."""
     from owlfrontier import queries as Q
 
-    def objective(iters):
+    def codebook(fn, iters):
         orig = Q._IVF_TRAIN_ITERS
         Q._IVF_TRAIN_ITERS = iters
         try:
             cents = {}
-            for r in Q.q_ann_ivf_train(spark, SF_DIR).collect():
+            for r in fn(spark, SF_DIR).collect():
                 cents.setdefault(r["cid"], {})[r["pos"]] = r["value"]
-            cents = {
+            return {
                 cid: [d[p] for p in sorted(d)] for cid, d in cents.items()
             }
         finally:
             Q._IVF_TRAIN_ITERS = orig
-        import duckdb
 
-        duckdb.sql(
-            "CREATE OR REPLACE VIEW embeddings AS "
-            f"SELECT * FROM '{SF_DIR}/embeddings.parquet'"
-        )
-        vecs = duckdb.sql(
-            "SELECT [round(x::DOUBLE * 1e6)::BIGINT for x in embedding] "
-            "AS xi FROM embeddings"
-        ).fetchall()
-        total = 0
-        for (xi,) in vecs:
-            total += min(
+    import duckdb
+
+    duckdb.sql(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    vecs = duckdb.sql(
+        "SELECT [round(x::DOUBLE * 1e6)::BIGINT for x in embedding] "
+        "AS xi FROM embeddings"
+    ).fetchall()
+
+    def objective(cents):
+        return sum(
+            min(
                 sum((a - b) * (a - b) for a, b in zip(xi, c))
                 for c in cents.values()
             )
-        return total
+            for (xi,) in vecs
+        )
 
-    o0, o1, o3 = objective(0), objective(1), objective(3)
+    o0, o1, o3 = (
+        objective(codebook(Q.q_ann_ivf_train, i)) for i in (0, 1, 3)
+    )
     assert o1 <= o0  # first update beats the raw first-K init
     assert o3 <= o1  # more iterations never worsen the objective
     assert o3 < o0  # and training overall strictly improved it
+
+    ff0_cents = codebook(Q.q_ann_ivf_train_ff, 0)
+    ff3_cents = codebook(Q.q_ann_ivf_train_ff, 3)
+    f0, f3 = objective(ff0_cents), objective(ff3_cents)
+    assert f3 <= f0  # monotone under the spread init too
+    # init sensitivity: the spread init starts from a strictly better
+    # quantization than the prefix init and trains to a different codebook
+    assert f0 < o0
+    assert ff3_cents != codebook(Q.q_ann_ivf_train, 3)
