@@ -8,12 +8,14 @@ Arrow batch flow through ``mapInPandas``, partition-preserving transforms,
 deterministic content fingerprints.
 
 Codecs: uncompressed BMP (24/32-bit BI_RGB), PNG (8-bit gray/RGB/RGBA/
-palette, all five scanline filters, non-interlaced) and PCM WAV decode for
-REAL using only the stdlib (zlib/struct/wave) + numpy — genuine byte→array
-paths per modality, pytest-covered. Remaining compressed formats
-(JPEG/MP3/...) stay STUBBED: those codec libraries are not in this
-container, so for them ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, which substitutes a
+palette, all five scanline filters, non-interlaced), GIF (LZW, animation,
+interlace, transparency, disposal), baseline JPEG (generic DHT Huffman,
+DC/AC entropy decode, dequant+IDCT, 4:2:0 upsampling, restart markers)
+and PCM WAV decode for REAL using only the stdlib (zlib/struct/wave) +
+numpy — genuine byte→array paths per modality, pytest-covered. Remaining
+compressed formats (WebP/MP3/...) stay STUBBED: those codec libraries
+are not in this container, so for them ``decode_image``/``decode_audio``
+raise ``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic content-derived fake (stable across runs, good enough to
 exercise every downstream operator).
 """
@@ -488,23 +490,475 @@ def encode_gif(frames, interlace: bool = False,
     return bytes(out)
 
 
+# --- JPEG (baseline sequential DCT) — REAL stdlib decode/encode -------------
+#
+# ITU-T T.81 baseline: SOI/APPn/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI marker parse,
+# generic DHT canonical-Huffman tables, DC prediction + AC run-length
+# (ZRL/EOB) entropy decode with 0xFF00 byte unstuffing and restart-marker
+# DC resets, dequantize + zigzag + orthonormal 8x8 IDCT, per-component
+# sampling-factor planes with replication upsampling (4:2:0 etc.), JFIF
+# YCbCr->RGB. The decoder is the real-world path (Common Crawl JPEGs carry
+# arbitrary DHT/DQT); the encoder exists for fixtures/round-trips and
+# writes fixed self-consistent canonical tables (legal JPEG — optimized
+# encoders ship custom tables too), optional 4:2:0 subsampling and
+# restart intervals, so every decoder branch is exercisable offline.
+
+
+def _zigzag_order() -> np.ndarray:
+    order = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rs if s % 2 == 1 else reversed(list(rs))):
+            order.append(r * 8 + (s - r))
+    return np.array(order, dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+
+# orthonormal 8-point DCT-II matrix: spatial = _DCT_T.T @ coeff @ _DCT_T
+_DCT_T = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict:
+    """DHT (BITS, HUFFVAL) → {(length, code): symbol} per T.81 C.2."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (already
+    unstuffed)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                return 0  # pad reads past the end (spec: fill bits)
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_segments(payload: bytes, pos: int) -> list[bytes]:
+    """Split the post-SOS entropy stream at RSTn markers, unstuffing
+    0xFF00; stops at the first real marker (EOI/next segment)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = payload[pos + 1] if pos + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # real marker (EOI, ...) — scan over
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """REAL stdlib+numpy baseline JPEG decode to HxWx3 uint8 RGB
+    (grayscale replicates to 3 channels)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None  # list of dicts: id, h, v, tq
+    width = height = None
+    restart = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                o += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, o).astype(np.int32)
+                    o += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg, ">u2", 64, o
+                    ).astype(np.int32)
+                    o += 128
+                qt[tq] = tbl
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            _prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"only baseline sequential JPEG (SOF marker 0xff{marker:02x})"
+            )
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 15
+                bits = list(seg[o + 1:o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17:o + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_canonical(
+                    bits, vals
+                )
+                o += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tables >> 4, tables & 15))
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if comps is None or scan is None or width is None:
+        raise ValueError("corrupt JPEG: missing SOF/SOS")
+
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcux = (width + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (height + 8 * max_v - 1) // (8 * max_v)
+    planes = {
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), np.float64)
+        for c in comps
+    }
+    by_id = {c["id"]: c for c in comps}
+    segs = _jpeg_segments(payload, pos)
+    reader = _JpegBits(segs[0])
+    seg_i = 0
+    pred = {c["id"]: 0 for c in comps}
+    n_mcus = mcux * mcuy
+    for mcu in range(n_mcus):
+        if restart and mcu and mcu % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("corrupt JPEG: missing restart segment")
+            reader = _JpegBits(segs[seg_i])
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcux)
+        for cs, td, ta in scan:
+            c = by_id[cs]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, np.int32)
+                    s = reader.huff(huff_dc[td])
+                    diff = _extend(reader.bits(s), s) if s else 0
+                    pred[cs] += diff
+                    zz[0] = pred[cs]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(huff_ac[ta])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("corrupt JPEG: AC overrun")
+                        zz[k] = _extend(reader.bits(s), s)
+                        k += 1
+                    block = np.zeros(64, np.float64)
+                    block[_ZIGZAG] = zz * q
+                    spatial = (
+                        _DCT_T.T @ block.reshape(8, 8) @ _DCT_T
+                    ) + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[cs][y0:y0 + 8, x0:x0 + 8] = spatial
+
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(p, max_v // c["v"], axis=0)
+        p = np.repeat(p, max_h // c["h"], axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _fixed_huff_spec(n_sym: int) -> tuple[list[int], list[int]]:
+    """Self-consistent canonical table covering symbols 0..n_sym-1: 12
+    DC categories fit in 4 bits; the 256 AC (run,size) bytes split 128 at
+    8 bits + 128 at 9 bits. The all-ones code stays unused (T.81 C.2)."""
+    if n_sym <= 12:
+        return [0, 0, 0, 12] + [0] * 12, list(range(12))
+    bits = [0] * 16
+    bits[7] = 128
+    bits[8] = 128
+    return bits, list(range(256))
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def encode_jpeg(img: np.ndarray, lq: int = 1, cq: int = 1,
+                subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Minimal baseline JPEG encoder (fixtures / round-trips): flat
+    quantization tables (lq luma, cq chroma — 1 ≈ near-lossless), fixed
+    canonical Huffman tables, optional 4:2:0 chroma subsampling and DRI
+    restart markers so every decoder branch has an offline exercise
+    path."""
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape[:2]
+    gray = img.ndim == 2 or img.shape[2] == 1
+    if gray:
+        y = img.reshape(h, w).astype(np.float64)
+        planes = [y]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        rgb = img[:, :, :3].astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "444":
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError("subsample must be '444' or '420'")
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcux = (w + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (h + 8 * max_v - 1) // (8 * max_v)
+    qtabs = [np.full(64, max(1, lq), np.int32),
+             np.full(64, max(1, cq), np.int32)]
+
+    # pad each (sub)sampled plane to its MCU grid with edge replication
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        if (sh, sv) != (max_h, max_v):
+            fy, fx = max_v // sv, max_h // sh
+            ph = (p.shape[0] + fy - 1) // fy * fy
+            pw = (p.shape[1] + fx - 1) // fx * fx
+            p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                       mode="edge")
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx)
+            p = p.mean(axis=(1, 3))  # chroma average-downsample
+        th_, tw_ = mcuy * 8 * sv, mcux * 8 * sh
+        p = np.pad(p, ((0, th_ - p.shape[0]), (0, tw_ - p.shape[1])),
+                   mode="edge")
+        padded.append(p)
+
+    dc_bits, dc_vals = _fixed_huff_spec(12)
+    ac_bits, ac_vals = _fixed_huff_spec(256)
+    enc_dc = {
+        sym: (length, code)
+        for (length, code), sym in _huff_canonical(dc_bits, dc_vals).items()
+    }
+    enc_ac = {
+        sym: (length, code)
+        for (length, code), sym in _huff_canonical(ac_bits, ac_vals).items()
+    }
+
+    def size_cat(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    wtr = _JpegBitWriter()
+    chunks: list[bytes] = []
+    pred = [0] * len(planes)
+    n_mcus = mcux * mcuy
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            chunks.append(wtr.flush())
+            chunks.append(
+                bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+            )
+            wtr = _JpegBitWriter()
+            pred = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+            q = qtabs[qids[ci]]
+            for by in range(sv):
+                for bx in range(sh):
+                    y0 = (my * sv + by) * 8
+                    x0 = (mx * sh + bx) * 8
+                    block = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                    coeff = _DCT_T @ block @ _DCT_T.T
+                    zz = np.round(
+                        coeff.reshape(64)[_ZIGZAG] / q
+                    ).astype(np.int64)
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    s = size_cat(diff)
+                    ln, code = enc_dc[s]
+                    wtr.write(code, ln)
+                    if s:
+                        wtr.write(
+                            diff if diff > 0 else diff + (1 << s) - 1, s
+                        )
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = enc_ac[0xF0]  # ZRL
+                            wtr.write(code, ln)
+                            run -= 16
+                        s = size_cat(v)
+                        ln, code = enc_ac[(run << 4) | s]
+                        wtr.write(code, ln)
+                        wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        ln, code = enc_ac[0x00]  # EOB
+                        wtr.write(code, ln)
+    chunks.append(wtr.flush())
+    entropy = b"".join(chunks)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(qtabs[0].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qtabs[1].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i, (sh, sv) in enumerate(samp):
+        sof += bytes([i + 1, (sh << 4) | sv, qids[i]])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    Uncompressed BMP and PNG decode for REAL (stdlib struct/zlib + numpy).
-    Other compressed formats need codec libraries not present in this
-    container: for those, ``fake=True`` produces a deterministic 8x8x3
-    array derived from the payload digest — stable, collision-resistant,
-    and shaped like the real thing for downstream plumbing."""
+    BMP, PNG, GIF and baseline JPEG decode for REAL (stdlib struct/zlib +
+    numpy). Remaining formats (WebP/AVIF/TIFF/...) need codec libraries
+    not present in this container: for those, ``fake=True`` produces a
+    deterministic 8x8x3 array derived from the payload digest — stable,
+    collision-resistant, and shaped like the real thing for downstream
+    plumbing."""
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload and payload.startswith(_PNG_SIG):
         return decode_png(payload)
     if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload and payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     if not fake:
         raise NotImplementedError(
-            "only uncompressed BMP, PNG and GIF decode natively; other "
+            "only BMP, PNG, GIF and baseline JPEG decode natively; other "
             "image codecs are not available in this environment — pass "
             "fake=True for the deterministic stand-in"
         )

@@ -1681,15 +1681,17 @@ LEFT JOIN (SELECT url, rendered FROM ranked WHERE rn = 1) t
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column pipeline as a checked query (rows-only:
     image decode is not SQL-expressible): deterministic payloads derived
-    per doc_id — BMP (ids ≡ 0 mod 3), PNG (≡ 1), GIF (≡ 2, ≤256-color
-    quantized) — decoded for REAL by the stdlib codecs inside the
-    ``mapInPandas`` feature pipeline (multimodal.py), exercising a
-    mixed-format media column the way a real crawl store carries one."""
+    per doc_id — BMP (ids ≡ 0 mod 4), PNG (≡ 1), GIF (≡ 2, ≤256-color
+    quantized), baseline JPEG (≡ 3) — decoded for REAL by the stdlib
+    codecs inside the ``mapInPandas`` feature pipeline (multimodal.py),
+    exercising a mixed-format media column the way a real crawl store
+    carries one."""
     import hashlib as _hl
 
     from owlfrontier.multimodal import (
         encode_bmp,
         encode_gif,
+        encode_jpeg,
         encode_png,
         image_feature_pipeline,
     )
@@ -1709,14 +1711,16 @@ def q_multimodal_features(spark, sf_dir):
                 img = np.frombuffer(
                     (digest * 6)[: 8 * 8 * 3], dtype=np.uint8
                 ).reshape(8, 8, 3)
-                m = int(mid) % 3
+                m = int(mid) % 4
                 if m == 0:
                     payloads.append(encode_bmp(img))
                 elif m == 1:
                     payloads.append(encode_png(img))
-                else:
+                elif m == 2:
                     # GIF needs ≤256 colors: quantize to the high 3 bits
                     payloads.append(encode_gif([(img >> 5) << 5]))
+                else:
+                    payloads.append(encode_jpeg(img))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )

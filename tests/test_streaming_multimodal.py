@@ -204,8 +204,9 @@ def test_image_pipeline_real_bmp_through_spark(spark):
 
 
 def test_decode_stub_raises_without_fake():
+    # TIFF magic: a real format the native codecs don't cover
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+        decode_image(b"II*\x00restoffile")
 
 
 def test_png_decode_real():
@@ -488,6 +489,133 @@ def test_gif_corrupt_payloads_raise():
     for bad in (b"GIF89a", good[:20], good[:-6] + b"\x07garbage"):
         with _pytest.raises((ValueError, IndexError, struct.error)):
             decode_gif(bad)
+
+
+def test_jpeg_roundtrip_real():
+    """Baseline JPEG: encode→decode round-trips within quantization error
+    across 4:4:4, flat-quant near-lossless, coarser quant, restart
+    markers, and grayscale; 4:2:0 stays tight on smooth content (chroma
+    averaging is inherently lossy on noise)."""
+    import numpy as np
+
+    from owlfrontier.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(13, 21, 3), dtype=np.uint8)
+
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    assert (decode_image(encode_jpeg(img), fake=False) == out).all()
+
+    # restart markers: same reconstruction, RST decode path exercised
+    with_rst = encode_jpeg(img, restart_interval=2)
+    assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+    assert (decode_jpeg(with_rst) == out).all()
+
+    # coarser flat quant: still bounded by table steps
+    coarse = decode_jpeg(encode_jpeg(img, lq=4, cq=6))
+    assert np.abs(coarse.astype(int) - img.astype(int)).max() <= 24
+
+    # 4:2:0 on a smooth gradient: decoded close to the original
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    smooth = np.stack(
+        [np.minimum(xx * 3, 255), np.minimum(yy * 5, 255),
+         np.minimum(xx + yy, 255)], axis=2
+    ).astype(np.uint8)
+    sub = decode_jpeg(encode_jpeg(smooth, subsample="420"))
+    assert np.abs(sub.astype(int) - smooth.astype(int)).max() <= 4
+
+    # grayscale replicates to 3 channels
+    g = rng.randint(0, 256, size=(10, 17), dtype=np.uint8)
+    og = decode_jpeg(encode_jpeg(g))
+    assert og.shape == (10, 17, 3)
+    assert np.abs(og[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+    assert (og[:, :, 0] == og[:, :, 1]).all()
+
+
+def test_jpeg_hand_assembled_stream_decodes():
+    """Decoder independence: a minimal one-block grayscale JPEG whose
+    entropy bits are assembled BY HAND from the spec (DC category code +
+    amplitude bits + EOB under the fixed canonical tables) — not by the
+    encoder — must decode to the hand-computed pixel value."""
+    import struct as _struct
+
+    import numpy as np
+
+    from owlfrontier.multimodal import _fixed_huff_spec, decode_jpeg
+
+    dc_bits, dc_vals = _fixed_huff_spec(12)
+    ac_bits, ac_vals = _fixed_huff_spec(256)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    header = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC0, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    # flat 128 image: DC diff 0 → DC cat 0 (4-bit code 0000) + EOB
+    # (8-bit code 00000000), padded with 1s → bytes 0x00 0x0F
+    flat = header + bytes([0x00, 0x0F]) + b"\xff\xd9"
+    out = decode_jpeg(flat)
+    assert out.shape == (8, 8, 3)
+    assert (out == 128).all()
+    # flat 200 image: DC coeff = (200-128)*8 = 576 → category 10
+    # (code 1010) + 10 amplitude bits (1001000000) + EOB + 1-pad
+    # → bits 1010 1001000000 00000000 11 → 0xA9 0x00 0x00 0xC0|0x3F pad
+    bits = "1010" + "1001000000" + "00000000"
+    bits += "1" * ((8 - len(bits) % 8) % 8)
+    entropy = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    flat200 = header + entropy + b"\xff\xd9"
+    out = decode_jpeg(flat200)
+    assert (np.abs(out.astype(int) - 200) <= 1).all()
+
+
+def test_jpeg_corrupt_and_unsupported_raise():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from owlfrontier.multimodal import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    good = encode_jpeg(img)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff")  # truncated: no SOF/SOS
+    with _pytest.raises((ValueError, struct.error)):
+        decode_jpeg(good[:40])
+    # progressive (SOF2) is explicitly rejected, not mis-decoded
+    prog = bytearray(good)
+    prog[good.index(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+
+
+def test_image_pipeline_real_jpeg_through_spark(spark):
+    """fake=False end-to-end: a real baseline-JPEG payload flows through
+    the mapInPandas feature pipeline (like BMP/PNG/GIF)."""
+    import numpy as np
+
+    from owlfrontier.multimodal import encode_jpeg
+
+    img = np.full((8, 8, 3), 255, dtype=np.uint8)
+    rows = [(1, "image", bytearray(encode_jpeg(img)), "image/jpeg",
+             8, 8, None)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = image_feature_pipeline(df, thumb=(2, 2), fake=False).collect()
+    assert len(out) == 1
+    # all-white: every feature ≈ 1.0 within quantization error
+    assert all(abs(f - 1.0) < 0.02 for f in out[0]["features"])
 
 
 def test_frame_sample_pipeline_real_gif_frames(spark):
