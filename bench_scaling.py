@@ -32,9 +32,11 @@ Usage: python bench_scaling.py [n_pages] [N] [--repeats R] [--cold]
 from __future__ import annotations
 
 import datetime as dt
+import glob
 import json
 import os
 import shutil
+import signal
 import subprocess
 import sys
 
@@ -152,24 +154,46 @@ def _drop_caches() -> None:
 
 
 def run_level(cpus: int, pages_path: str, seeds_path: str,
-              cold: bool) -> dict:
-    if cold:
-        _drop_caches()
-    else:
+              cold: bool, timeout_s: int = 3600) -> dict:
+    """One measured child run. A run that exceeds ``timeout_s`` (sized
+    ~4-6× the expected wall) is killed — whole process GROUP, the JVM is
+    a grandchild — and retried ONCE: a rare Spark python-runner reuse
+    race can wedge a task waiting on a worker socket indefinitely
+    (observed once at 2.4M/local[8]; jstack shows the task thread in
+    ReaderInputStream.read while the worker blocks in tcp_sendmsg). The
+    retry is recorded in the printed stream so the raw log shows it."""
+    for attempt in (1, 2):
+        if cold:
+            _drop_caches()
+        else:
+            subprocess.run(["sync"], check=True)
+            _prewarm(pages_path, seeds_path)
+        proc = subprocess.Popen(
+            [sys.executable, "-c", CHILD, str(cpus), pages_path, seeds_path],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=dict(os.environ), start_new_session=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        try:
+            out, _err = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+            for d in glob.glob(f"/tmp/owlfrontier-scale-{cpus}-*"):
+                shutil.rmtree(d, ignore_errors=True)
+            subprocess.run(["sync"], check=True)
+            print(json.dumps({"wedged_run_killed": True, "cpus": cpus,
+                              "attempt": attempt,
+                              "timeout_s": timeout_s}), flush=True)
+            continue
+        line = out.strip().splitlines()[-1]
+        r = json.loads(line)
+        # delete this run's 2 GB store and flush: leftover dirty pages
+        # measured up to 2.6x perturbation on the NEXT run
+        shutil.rmtree(r.pop("store"), ignore_errors=True)
         subprocess.run(["sync"], check=True)
-        _prewarm(pages_path, seeds_path)
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), pages_path, seeds_path],
-        capture_output=True, text=True, env=dict(os.environ),
-        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600,
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    r = json.loads(line)
-    # delete this run's 2 GB store and flush: leftover dirty pages measured
-    # up to 2.6x perturbation on the NEXT run
-    shutil.rmtree(r.pop("store"), ignore_errors=True)
-    subprocess.run(["sync"], check=True)
-    return r
+        return r
+    raise RuntimeError(f"local[{cpus}] wedged twice (timeout {timeout_s}s)")
 
 
 def main() -> None:
@@ -182,10 +206,13 @@ def main() -> None:
     cold = "--cold" in sys.argv
     pages_path, seeds_path = prepare_input(n_pages)
 
+    # ~5× the slowest expected wall (2.4M/local[2] ≈ 450 s) so a wedged
+    # run is cut and retried instead of stalling the session
+    timeout_s = max(900, n_pages // 1000)
     runs: dict[int, list[dict]] = {n: [], 4 * n: []}
     for i in range(repeats):
         for cpus in (n, 4 * n):  # interleaved: drift hits both levels equally
-            r = run_level(cpus, pages_path, seeds_path, cold)
+            r = run_level(cpus, pages_path, seeds_path, cold, timeout_s)
             runs[cpus].append(r)
             print(json.dumps({"round": i, **{k: r[k] for k in
                   ("cpus", "sec", "urls_per_sec")}}), flush=True)

@@ -702,17 +702,28 @@ class CrawlEngine:
             F.concat("path", F.array(F.col("pos").cast("bigint"))).alias("path"),
             F.col("parent_url").alias("discovered_from"),
         )
-        # enqueue-time dedup (O3, THE dedup pass — frontiers commit clean):
-        # Bloom-prefiltered exact anti-join, then first-wins per url
-        pool = self._dedup(
-            deferred.unionByName(candidates),
-            crawled_gens + ([g] if fetched_count else []),
+        # first-wins per url as a MIN_BY AGGREGATION, not a window: the
+        # pool is dup-heavy (every page has ~fanout parents), and a
+        # declarative min_by gets map-side partial aggregation — the
+        # shuffle carries at most one row per (url, map partition)
+        # instead of the whole pool. Running it BEFORE the dedup
+        # anti-join means the join probes only unique urls AND reuses
+        # the groupBy's hash-partitioning on url (no second pool
+        # exchange). Filter-by-crawled commutes with per-url min, so
+        # the result is identical to dedup-then-first-wins.
+        pool = deferred.unionByName(candidates)
+        order_key = F.struct(
+            F.size("path").alias("l"), F.col("path").alias("p")
         )
-        w = Window.partitionBy("url").orderBy(*fifo_order())
-        next_frontier = (
-            pool.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+        pool_first = pool.groupBy("url").agg(
+            F.min_by(
+                F.struct("host", "path", "discovered_from"), order_key
+            ).alias("r")
+        ).select("url", "r.host", "r.path", "r.discovered_from")
+        # enqueue-time dedup (O3, THE dedup pass — frontiers commit
+        # clean): Bloom-prefiltered exact anti-join on the deduped pool
+        next_frontier = self._dedup(
+            pool_first, crawled_gens + ([g] if fetched_count else [])
         )
         # the next-frontier count rides the write job as an observed metric
         # — the frontier is computed exactly once, counted for free

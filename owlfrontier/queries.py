@@ -1413,6 +1413,180 @@ FROM documents
 """
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted to
+    the corpus's single-line word streams): duplicate-word fraction, the
+    most frequent 2-gram (deterministic tiebreak: smallest gram) with its
+    token-mass fraction, and the fraction of 2-gram instances whose gram
+    repeats. Scale shape: one explode + ONE groupBy(doc_id, gram) — the
+    per-doc window ranks inside that grouped output (small), never the
+    raw token stream; every numerator/denominator is integer-exact."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    base = d.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("n_distinct"),
+    )
+    grams = d.select(
+        "doc_id",
+        # guard: sequence(0, -1) would infer step -1 on a 1-token doc
+        # (DuckDB's generate_series is empty there — keep them equal)
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> concat(ws[i], ' ', ws[i + 1])) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    gc = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    agg = gc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("total_grams"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        .cast("bigint").alias("dup_gram_inst"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        gc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.col("gram").alias("top2_gram"),
+                F.col("cnt").cast("bigint").alias("top2_cnt"))
+    )
+    out = base.join(agg, "doc_id", "left").join(top, "doc_id", "left")
+    return out.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round(
+            1 - F.col("n_distinct").cast("double")
+            / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_word_frac"),
+        "top2_gram",
+        F.coalesce("top2_cnt", F.lit(0)).cast("bigint").alias("top2_cnt"),
+        F.round(
+            2.0 * F.coalesce("top2_cnt", F.lit(0))
+            / F.col("n_tokens").cast("double"), 6
+        ).alias("top2_frac"),
+        F.when(
+            F.col("total_grams") > 0,
+            F.round(
+                F.col("dup_gram_inst").cast("double")
+                / F.col("total_grams").cast("double"), 6
+            ),
+        ).otherwise(0.0).alias("dup2gram_frac"),
+    )
+
+
+SQL_GOPHER_REPETITION = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+                len(list_distinct(ws))::BIGINT AS n_distinct FROM d),
+grams AS (
+  SELECT doc_id,
+         unnest([ws[i] || ' ' || ws[i + 1]
+                 for i in generate_series(1, len(ws) - 1)]) AS gram
+  FROM d),
+gc AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt
+       FROM grams GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(cnt)::BIGINT AS total_grams,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT
+                 AS dup_gram_inst
+        FROM gc GROUP BY 1),
+top AS (SELECT doc_id, gram AS top2_gram, cnt AS top2_cnt FROM gc
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY cnt DESC, gram) = 1)
+SELECT b.doc_id, b.n_tokens, b.n_distinct,
+       round(1 - b.n_distinct::DOUBLE / b.n_tokens::DOUBLE, 6)
+         AS dup_word_frac,
+       t.top2_gram,
+       COALESCE(t.top2_cnt, 0)::BIGINT AS top2_cnt,
+       round(2.0 * COALESCE(t.top2_cnt, 0) / b.n_tokens::DOUBLE, 6)
+         AS top2_frac,
+       CASE WHEN a.total_grams > 0
+            THEN round(a.dup_gram_inst::DOUBLE / a.total_grams::DOUBLE, 6)
+            ELSE 0.0 END AS dup2gram_frac
+FROM base b
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN top t USING (doc_id)
+"""
+
+
+_C4_MIN_WORDS = 5
+_MWL_LO, _MWL_HI = 3.0, 10.0  # Gopher mean-word-length window
+
+
+def q_webtext_filters(spark, sf_dir):
+    """C4/Gopher-style document filter flags (Raffel et al. 2020 §2.2;
+    Rae et al. 2021 §A1.1), adapted to single-line word streams: word
+    count floor, mean word length window, lorem-ipsum and curly-brace
+    content gates, terminal-punctuation flag (reported, not gating —
+    the synthetic corpus carries none), and the composed keep decision.
+    Pure column expressions — one scan, zero shuffle, pushdown-friendly."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.col("text"),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "aggregate(ws, cast(0 as bigint), (a, w) -> a + length(w))"
+        ).alias("n_word_chars"),
+        F.col("text").rlike('[.!?"]$').alias("has_terminal_punct"),
+        (~F.col("text").contains("lorem ipsum")).alias("no_lorem"),
+        (~F.col("text").contains("{")).alias("no_braces"),
+    )
+    mwl = F.round(
+        F.col("n_word_chars").cast("double")
+        / F.col("n_tokens").cast("double"), 6
+    )
+    d = d.withColumn("mean_word_len", mwl)
+    word_len_ok = (F.col("mean_word_len") >= _MWL_LO) & (
+        F.col("mean_word_len") <= _MWL_HI
+    )
+    return d.select(
+        "doc_id", "n_tokens", "mean_word_len", "has_terminal_punct",
+        "no_lorem", "no_braces",
+        word_len_ok.alias("word_len_ok"),
+        (
+            (F.col("n_tokens") >= _C4_MIN_WORDS)
+            & F.col("no_lorem") & F.col("no_braces") & word_len_ok
+        ).alias("kept"),
+    )
+
+
+SQL_WEBTEXT_FILTERS = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         list_sum([length(w)::BIGINT
+                   for w in string_split(text, ' ')])::BIGINT
+           AS n_word_chars,
+         regexp_matches(text, '[.!?"]$') AS has_terminal_punct,
+         NOT contains(text, 'lorem ipsum') AS no_lorem,
+         NOT contains(text, '{{') AS no_braces
+  FROM documents),
+m AS (
+  SELECT *, round(n_word_chars::DOUBLE / n_tokens::DOUBLE, 6)
+           AS mean_word_len
+  FROM d)
+SELECT doc_id, n_tokens, mean_word_len, has_terminal_punct,
+       no_lorem, no_braces,
+       (mean_word_len >= {_MWL_LO} AND mean_word_len <= {_MWL_HI})
+         AS word_len_ok,
+       (n_tokens >= {_C4_MIN_WORDS} AND no_lorem AND no_braces
+        AND mean_word_len >= {_MWL_LO} AND mean_word_len <= {_MWL_HI})
+         AS kept
+FROM m
+"""
+
+
 # per-mille keep rates by language: downsample the dominant language,
 # keep the tail — the language-rebalancing move every training-data mix
 # step makes. The seed string makes independent samples reproducible AND
@@ -1907,6 +2081,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "gopher_repetition": q_gopher_repetition,
+    "webtext_filters": q_webtext_filters,
     "sample_stratified": q_sample_stratified,
     "corpus_select": q_corpus_select,
     "search_phrase": q_search_phrase,
@@ -1947,6 +2123,8 @@ ORACLE = {
     "lang_id": SQL_LANG_ID,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
+    "webtext_filters": SQL_WEBTEXT_FILTERS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_select": SQL_CORPUS_SELECT,
     "search_phrase": SQL_SEARCH_PHRASE,

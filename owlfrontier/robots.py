@@ -117,6 +117,23 @@ def parse_crawl_delay(
     return _select_group(_parse_groups(robots_txt), user_agent)[1]
 
 
+_SITEMAP_RE = re.compile(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)")
+
+
+def parse_sitemaps(robots_txt: str) -> list[str]:
+    """``Sitemap:`` directive URLs, in file order. Per RFC 9309 §2.3 /
+    sitemaps.org these are GLOBAL (not scoped to any User-agent group),
+    so they are collected independently of group parsing. Inline
+    comments are stripped like any other line."""
+    out = []
+    for line in (robots_txt or "").splitlines():
+        line = line.split("#", 1)[0]
+        m = _SITEMAP_RE.match(line)
+        if m:
+            out.append(m.group(1))
+    return out
+
+
 def pattern_regex(pattern: str) -> str:
     """RFC 9309 §2.2.3 pattern → anchored regex (Python- and Java-safe):
     ``*`` matches any octet sequence, a TRAILING ``$`` anchors the end
@@ -260,4 +277,45 @@ def robots_from_pages(pages):
         cand.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("host", "robots_txt")
+    )
+
+
+def sitemap_seeds_from_pages(pages):
+    """Sitemap-driven seed bootstrap, fully declarative: pull each host's
+    ``Sitemap:`` URLs out of the robots.txt rows already in the pages
+    store, join those URLs back against the store to fetch the sitemap
+    XML payloads, and extract every ``<loc>`` entry JVM-side
+    (``regexp_extract_all`` — no Python in the path). Returns a
+    ``(url, seq)`` seeds DataFrame ready for ``CrawlEngine.run(seeds=…)``
+    / ``add_seeds`` (seq = xxhash64-derived: any unique-ish BIGINT works,
+    first-wins dedup arbitrates ties by path order).
+
+    Scale shape: the robots scan prunes on the url-suffix predicate; the
+    sitemap join broadcasts the (tiny, host-count-sized) sitemap-URL
+    side against the store; extraction and explode are column ops."""
+    from pyspark.sql import functions as F
+
+    robots = robots_from_pages(pages)
+    sitemap_urls = robots.select(
+        F.explode(
+            F.regexp_extract_all(
+                "robots_txt", F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"),
+                1,
+            )
+        ).alias("url")
+    ).distinct()
+    sitemap_pages = F.broadcast(sitemap_urls).join(
+        pages.select("url", "html"), "url", "inner"
+    )
+    locs = sitemap_pages.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.decode(F.col("html"), "UTF-8"),
+                F.lit(r"<loc>\s*([^<\s][^<]*?)\s*</loc>"),
+                1,
+            )
+        ).alias("url")
+    ).distinct()
+    return locs.select(
+        "url", F.abs(F.xxhash64("url")).alias("seq")
     )

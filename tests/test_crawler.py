@@ -592,6 +592,45 @@ def test_salted_partitioning_defuses_hot_host(spark):
     assert len(sizes) >= 12  # rows actually spread across partitions
 
 
+def test_sitemap_seed_bootstrap(spark, tmp_path):
+    """Sitemap-driven seeding (robots.sitemap_seeds_from_pages): Sitemap:
+    URLs in stored robots.txt rows resolve to sitemap XML pages in the
+    store; their <loc> entries become the (url, seq) seed table and the
+    crawl proceeds from them."""
+    from owlfrontier.robots import sitemap_seeds_from_pages
+
+    sitemap_xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> http://a.example/p0 </loc></url>"
+        "<url><loc>http://b.example/p0</loc></url>"
+        "</urlset>"
+    )
+    pages = _mini_pages(spark, {
+        "http://a.example/robots.txt":
+            "User-agent: *\nDisallow: /private\n"
+            "Sitemap: http://a.example/sitemap.xml\n",
+        "http://a.example/sitemap.xml": sitemap_xml,
+        "http://a.example/p0": '<a href="/p1">n</a>',
+        "http://a.example/p1": "<p>leaf</p>",
+        "http://b.example/p0": "<p>other host</p>",
+    })
+    seeds = sitemap_seeds_from_pages(pages)
+    got = {r["url"] for r in seeds.collect()}
+    assert got == {"http://a.example/p0", "http://b.example/p0"}
+
+    engine = CrawlEngine(
+        spark, pages, str(tmp_path / "store"),
+        config=CrawlConfig(salt_buckets=2, frontier_partitions=4,
+                           use_bloom=False),
+    )
+    summary = engine.run(seeds=seeds)
+    crawled = {r["url"] for r in engine.crawled().collect()}
+    # both sitemap seeds crawled, link-following still works from them
+    assert {"http://a.example/p0", "http://a.example/p1",
+            "http://b.example/p0"} <= crawled
+    assert summary["crawled"] == len(crawled)
+
+
 def test_incremental_word_index_equals_recompute(spark, tmp_path):
     """O14 incremental maintenance (couchdb.go:87-109 analog): the
     per-generation-appended postings index after a multi-generation crawl

@@ -96,6 +96,23 @@ def test_rfc9309_wildcards_and_anchor():
     assert is_allowed("http://h/ab", r)
 
 
+def test_parse_sitemaps():
+    from owlfrontier.robots import parse_sitemaps
+
+    txt = ("User-agent: *\nDisallow: /private\n"
+           "Sitemap: http://a.example/sitemap.xml\n"
+           "sitemap:http://a.example/sm2.xml  # comment\n"
+           "User-agent: other\nSITEMAP: http://a.example/sm3.xml\n")
+    # global (group-independent), file order, case-insensitive field name
+    assert parse_sitemaps(txt) == [
+        "http://a.example/sitemap.xml",
+        "http://a.example/sm2.xml",
+        "http://a.example/sm3.xml",
+    ]
+    assert parse_sitemaps("") == []
+    assert parse_sitemaps("Sitemap:\n") == []  # empty value: no URL
+
+
 def test_rfc9309_allow_rules_parse():
     from owlfrontier.robots import parse_rules
 
