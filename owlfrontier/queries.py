@@ -1516,6 +1516,40 @@ LEFT JOIN top t USING (doc_id)
 """
 
 
+_VOCAB_K = 100
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-K by frequency — the seed table every BPE /
+    WordPiece tokenizer training run starts from. Scale shape: explode →
+    ONE partial+final hash aggregation (map-side combine collapses each
+    partition to its distinct tokens), then a TakeOrdered top-K by
+    (count desc, token asc — deterministic boundary) over the |vocab|-
+    sized aggregate, never the token stream. No salting needed: the
+    hot-key mass is absorbed by the map-side combine."""
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    return (
+        words.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_VOCAB_K)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT token, count(*)::BIGINT AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT {_VOCAB_K}
+"""
+
+
 _C4_MIN_WORDS = 5
 _MWL_LO, _MWL_HI = 3.0, 10.0  # Gopher mean-word-length window
 
@@ -2083,6 +2117,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "gopher_repetition": q_gopher_repetition,
     "webtext_filters": q_webtext_filters,
+    "vocab_topk": q_vocab_topk,
     "sample_stratified": q_sample_stratified,
     "corpus_select": q_corpus_select,
     "search_phrase": q_search_phrase,
@@ -2125,6 +2160,7 @@ ORACLE = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "webtext_filters": SQL_WEBTEXT_FILTERS,
+    "vocab_topk": SQL_VOCAB_TOPK,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_select": SQL_CORPUS_SELECT,
     "search_phrase": SQL_SEARCH_PHRASE,

@@ -592,6 +592,45 @@ def test_salted_partitioning_defuses_hot_host(spark):
     assert len(sizes) >= 12  # rows actually spread across partitions
 
 
+def test_light_mode_driver_action_contract(spark, tmp_path, monkeypatch):
+    """Overhead contract (round 3): a streamlined crawl (light metrics,
+    unbounded budget, no robots, no bloom, no partition hist) issues NO
+    per-generation count()/collect() driver actions — fetched/parsed/
+    next-frontier all ride the two write jobs as observed metrics. The
+    only count allowed is run()'s single initial frontier-size read.
+    Regression-pins the removal of the entry-dedup scan, the separate
+    count jobs, and the frontier read-back count."""
+    from pyspark.sql import DataFrame as _DF
+
+    rows, seeds = gen_site(n_pages=40, n_hosts=4, seed=23)
+    golden = simulate_generations(pages_map(rows), seeds)
+
+    calls = {"count": 0, "collect": 0}
+    orig_count, orig_collect = _DF.count, _DF.collect
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    monkeypatch.setattr(_DF, "count", counting_count)
+    monkeypatch.setattr(_DF, "collect", counting_collect)
+    engine = CrawlEngine(
+        spark, pages_df(spark, rows), str(tmp_path / "store"),
+        config=CrawlConfig(salt_buckets=2, frontier_partitions=4,
+                           use_bloom=False, light_metrics=True),
+    )
+    engine.run(seeds=seeds)
+    monkeypatch.undo()
+
+    assert calls["count"] <= 1, calls  # only the initial frontier size
+    assert calls["collect"] == 0, calls
+    assert {r["url"] for r in engine.crawled().collect()} == golden.url_seen
+
+
 def test_sitemap_seed_bootstrap(spark, tmp_path):
     """Sitemap-driven seeding (robots.sitemap_seeds_from_pages): Sitemap:
     URLs in stored robots.txt rows resolve to sitemap XML pages in the
