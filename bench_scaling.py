@@ -186,6 +186,18 @@ def run_level(cpus: int, pages_path: str, seeds_path: str,
                               "attempt": attempt,
                               "timeout_s": timeout_s}), flush=True)
             continue
+        if proc.returncode != 0 or not out.strip():
+            # fast crash (OOM, import error): surface stderr and count it
+            # as a failed attempt like a timeout, instead of dying on an
+            # unrelated IndexError parsing empty stdout
+            for d in glob.glob(f"/tmp/owlfrontier-scale-{cpus}-*"):
+                shutil.rmtree(d, ignore_errors=True)
+            print(json.dumps({
+                "crashed_run": True, "cpus": cpus, "attempt": attempt,
+                "returncode": proc.returncode,
+                "stderr_tail": _err[-2000:] if _err else "",
+            }), flush=True)
+            continue
         line = out.strip().splitlines()[-1]
         r = json.loads(line)
         # delete this run's 2 GB store and flush: leftover dirty pages
@@ -193,7 +205,10 @@ def run_level(cpus: int, pages_path: str, seeds_path: str,
         shutil.rmtree(r.pop("store"), ignore_errors=True)
         subprocess.run(["sync"], check=True)
         return r
-    raise RuntimeError(f"local[{cpus}] wedged twice (timeout {timeout_s}s)")
+    raise RuntimeError(
+        f"local[{cpus}] failed twice (wedge timeout {timeout_s}s or crash; "
+        "see crashed_run/wedged_run_killed records above)"
+    )
 
 
 def main() -> None:

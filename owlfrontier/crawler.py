@@ -198,8 +198,12 @@ class CrawlEngine:
                 return self._summary(crawled_gens, metrics)
             self.store.drop_uncommitted("crawled", crawled_gens)
             self.store.drop_uncommitted("frontier", list(range(g + 1)))
+            # unconditional: a crash after a postings write with the flag
+            # later toggled off would otherwise leave an orphan dir that a
+            # re-run at the same generation could read as committed index
+            self.store.drop_uncommitted("postings", crawled_gens)
             if self.config.maintain_index:
-                self.store.drop_uncommitted("postings", crawled_gens)
+                self._backfill_postings(crawled_gens)
             frontier = self.store.read_gen("frontier", g)
             self._rebuild_bloom(crawled_gens)
             # belt-and-braces for hand-built stores: frontiers THIS engine
@@ -332,7 +336,14 @@ class CrawlEngine:
         contributed only its own documents — the reference's per-write
         CouchDB view, couchdb.go:87-109), falling back to a full
         recompute from the crawled pages otherwise. Both paths return
-        identical rows (tested)."""
+        identical rows (tested).
+
+        The postings path is taken only when EVERY committed crawled
+        generation has a postings partition — a crawl resumed with
+        ``maintain_index`` newly enabled has postings for later
+        generations only (resume backfills, but a hand-built store may
+        not), and aggregating a partial table would silently drop the
+        earlier documents' counts."""
         from owlfrontier.search import (
             word_index as full_recompute,
         )
@@ -342,7 +353,11 @@ class CrawlEngine:
 
         manifest = self.store.read_manifest()
         gens = manifest["crawled_generations"] if manifest else []
-        posts = self.store.read_gens("postings", gens) if gens else None
+        posts = (
+            self.store.read_gens("postings", gens)
+            if gens and not self.store.missing_gens("postings", gens)
+            else None
+        )
         if posts is not None:
             return word_index_from_postings(posts, posting_cap, salt_buckets)
         crawled = self.crawled()
@@ -353,6 +368,21 @@ class CrawlEngine:
         return full_recompute(crawled, posting_cap, salt_buckets)
 
     # -- internals ------------------------------------------------------------
+
+    def _backfill_postings(self, crawled_gens: list[int]) -> None:
+        """Write postings partitions for committed generations that lack
+        one — the natural adoption path is enabling ``maintain_index`` on
+        a RESUMED crawl, which would otherwise leave the postings table
+        permanently partial (earlier generations' documents missing).
+        One tokenize+write per missing generation, once ever; generations
+        are disjoint by url so each backfill is independent."""
+        from owlfrontier.search import postings_from_crawled
+
+        for g in self.store.missing_gens("postings", crawled_gens):
+            self.store.write_gen(
+                postings_from_crawled(self.store.read_gen("crawled", g)),
+                "postings", g,
+            )
 
     def _seed_frontier(self, seeds: list[str] | DataFrame) -> DataFrame:
         if isinstance(seeds, DataFrame):

@@ -119,6 +119,15 @@ class SnapshotStore:
     def read_crawled(self, gens: list[int]):
         return self.read_gens("crawled", gens)
 
+    def missing_gens(self, table: str, gens: list[int]) -> list[int]:
+        """Committed generations with NO partition in ``table`` — lets
+        callers distinguish a complete side table (safe to aggregate
+        incrementally) from a partial one (feature enabled mid-crawl;
+        aggregate would silently miss the earlier generations)."""
+        return [
+            g for g in gens if not os.path.isdir(self._gen_dir(table, g))
+        ]
+
     def drop_uncommitted(self, table: str, committed: list[int]) -> None:
         tdir = os.path.join(self.root, table)
         if not os.path.isdir(tdir):
@@ -153,10 +162,16 @@ class SnapshotStore:
         self.write_gen(combined, "crawled", target)
         rows = self.read_gen("crawled", target).count()  # verify readable
         # side tables keyed by the same generation ids (the incremental
-        # word index) compact in the same swap
-        posts = self.read_gens("postings", gens)
-        if posts is not None:
-            self.write_gen(posts.repartition(n_files), "postings", target)
+        # word index) compact in the same swap — but ONLY when complete:
+        # merging a PARTIAL postings table (feature enabled mid-crawl)
+        # into the single target generation would erase the gap the
+        # word_index completeness guard detects; leaving the old dirs
+        # orphaned instead means word_index full-recomputes (correct)
+        # until resume backfills
+        if not self.missing_gens("postings", gens):
+            posts = self.read_gens("postings", gens)
+            if posts is not None:
+                self.write_gen(posts.repartition(n_files), "postings", target)
         self.commit(
             manifest["generation"],
             self.read_metrics(),
@@ -220,11 +235,29 @@ class IcebergStore:
     def _exists(self, table: str) -> bool:
         return self.spark.catalog.tableExists(self._t(table))
 
+    def _ensure_meta_migrated(self) -> None:
+        """Legacy meta tables (pre-``commit_seq``) migrate in place:
+        ADD COLUMN + backfill from generation order. Legacy stores predate
+        compaction (the only producer of same-generation re-commits), so
+        generation order IS their commit order — the backfill preserves
+        the total order ``read_manifest`` relies on."""
+        if not self._exists("meta"):
+            return
+        if "commit_seq" in self.spark.table(self._t("meta")).columns:
+            return
+        self.spark.sql(
+            f"ALTER TABLE {self._t('meta')} ADD COLUMN commit_seq BIGINT"
+        )
+        self.spark.sql(
+            f"UPDATE {self._t('meta')} SET commit_seq = generation"
+        )
+
     def commit(self, generation: int, metrics: list[dict],
                frontier_empty: bool, crawled_gens: list[int]) -> None:
         # commit_seq totally orders commits: compaction re-commits AT the
         # same generation with a different crawled_gens list, so ordering
         # by generation alone would leave the manifest read ambiguous
+        self._ensure_meta_migrated()
         seq = self._next_commit_seq()
         row = [(seq, generation, frontier_empty, json.dumps(crawled_gens))]
         df = self.spark.createDataFrame(
@@ -233,6 +266,9 @@ class IcebergStore:
             "crawled_gens string",
         )
         if self._exists("meta"):
+            # position-align with the live table: a migrated legacy table
+            # has commit_seq LAST (ALTER ADD COLUMN appends)
+            df = df.select(*self.spark.table(self._t("meta")).columns)
             df.writeTo(self._t("meta")).append()  # atomic snapshot == commit
         else:
             df.writeTo(self._t("meta")).using("iceberg").create()
@@ -258,6 +294,7 @@ class IcebergStore:
     def read_manifest(self) -> dict | None:
         if not self._exists("meta"):
             return None
+        self._ensure_meta_migrated()
         from pyspark.sql import functions as F
 
         # latest commit = max(commit_seq) — a total order even when
@@ -320,6 +357,23 @@ class IcebergStore:
     def read_crawled(self, gens: list[int]):
         return self.read_gens("crawled", gens)
 
+    def missing_gens(self, table: str, gens: list[int]) -> list[int]:
+        """Committed generations with no partition in ``table`` (one
+        metadata-pruned DISTINCT over the partition column)."""
+        if not gens:
+            return []
+        if not self._exists(table):
+            return list(gens)
+        from pyspark.sql import functions as F
+
+        present = {
+            r["generation"]
+            for r in self.spark.table(self._t(table))
+            .where(F.col("generation").isin(gens))
+            .select("generation").distinct().collect()
+        }
+        return [g for g in gens if g not in present]
+
     def drop_uncommitted(self, table: str, committed: list[int]) -> None:
         if not self._exists(table):
             return
@@ -346,7 +400,11 @@ class IcebergStore:
         combined = self.read_crawled(gens).repartition(n_files)
         self.write_gen(combined, "crawled", target)
         rows = self.read_gen("crawled", target).count()  # verify readable
-        posts = self.read_gens("postings", gens)
+        # postings compact only when COMPLETE (see SnapshotStore.compact)
+        posts = (
+            self.read_gens("postings", gens)
+            if not self.missing_gens("postings", gens) else None
+        )
         if posts is not None:
             self.write_gen(posts.repartition(n_files), "postings", target)
         self.commit(

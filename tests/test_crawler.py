@@ -711,6 +711,101 @@ def test_incremental_word_index_equals_recompute(spark, tmp_path):
     ) is not None
 
 
+def test_word_index_after_enabling_maintain_index_on_resume(spark, tmp_path):
+    """The natural adoption path: a crawl run WITHOUT maintain_index,
+    then resumed WITH it. Earlier generations have no postings
+    partitions; resume must backfill them (and word_index must never
+    aggregate a partial postings table), so the incremental index equals
+    the full recompute rather than silently dropping the earlier
+    documents."""
+    from owlfrontier.search import word_index as full_recompute
+
+    rows, seeds = gen_site(n_pages=40, n_hosts=3, seed=13)
+    pdf = pages_df(spark, rows)
+    # phase 1: two generations, index maintenance OFF
+    engine, _ = _run(spark, tmp_path, pdf, seeds, politeness_k=2,
+                     max_generations=2)
+    manifest = engine.store.read_manifest()
+    gens_before = list(manifest["crawled_generations"])
+    assert engine.store.missing_gens("postings", gens_before) == gens_before
+    # phase 2: resume with the flag ON — backfill + incremental thereafter
+    cfg = dict(salt_buckets=2, frontier_partitions=4, use_bloom=False,
+               partition_hist=True, politeness_k=2, maintain_index=True,
+               max_generations=100)
+    engine = CrawlEngine(spark, pdf, str(tmp_path / "store"),
+                         config=CrawlConfig(**cfg))
+    engine.run(resume=True)
+
+    def rowset(df):
+        return sorted(
+            (r["word"], r["doc_count"], tuple(r["urls"]))
+            for r in df.collect()
+        )
+
+    manifest = engine.store.read_manifest()
+    gens = manifest["crawled_generations"]
+    # every committed generation (incl. the pre-flag ones) has postings
+    assert engine.store.missing_gens("postings", gens) == []
+    incremental = rowset(engine.word_index())
+    recomputed = rowset(full_recompute(engine.crawled()))
+    assert incremental == recomputed
+    assert len(incremental) > 0
+
+
+def test_word_index_guard_on_partial_postings(spark, tmp_path):
+    """A hand-built store with a PARTIAL postings table (e.g. one written
+    outside the engine) must fall back to the full recompute — the
+    ADVICE-reported wrong-answer shape."""
+    import shutil
+
+    from owlfrontier.search import word_index as full_recompute
+
+    rows, seeds = gen_site(n_pages=40, n_hosts=3, seed=13)
+    pdf = pages_df(spark, rows)
+    engine, _ = _run(spark, tmp_path, pdf, seeds, politeness_k=2,
+                     maintain_index=True, max_generations=3)
+    gens = engine.store.read_manifest()["crawled_generations"]
+    assert len(gens) >= 2
+    # simulate the partial table: delete the first generation's postings
+    shutil.rmtree(engine.store._gen_dir("postings", gens[0]))
+    assert engine.store.missing_gens("postings", gens) == [gens[0]]
+    full = sorted(
+        (r["word"], r["doc_count"]) for r in
+        full_recompute(engine.crawled()).select("word", "doc_count").collect()
+    )
+    got = sorted(
+        (r["word"], r["doc_count"]) for r in
+        engine.word_index().select("word", "doc_count").collect()
+    )
+    assert got == full  # NOT the partial-postings answer
+
+
+def test_orphan_postings_dropped_on_resume_with_flag_off(spark, tmp_path):
+    """A crash after a postings write, resumed with maintain_index OFF,
+    must still clean the orphan postings dir (ADVICE: the cleanup was
+    gated on the flag, leaving stale data a later re-enable could read
+    as committed)."""
+    rows, seeds = gen_site(n_pages=30, n_hosts=3, seed=13)
+    pdf = pages_df(spark, rows)
+    engine, _ = _run(spark, tmp_path, pdf, seeds, politeness_k=2,
+                     maintain_index=True, max_generations=2)
+    store = engine.store
+    gens = store.read_manifest()["crawled_generations"]
+    # fabricate the crash artifact: an uncommitted postings dir for a
+    # generation the manifest does not list as crawled
+    orphan_gen = max(gens) + 7
+    store.write_gen(store.read_gens("postings", gens), "postings", orphan_gen)
+    import os
+    assert os.path.isdir(store._gen_dir("postings", orphan_gen))
+    engine2 = CrawlEngine(
+        spark, pdf, str(tmp_path / "store"),
+        config=CrawlConfig(salt_buckets=2, frontier_partitions=4,
+                           use_bloom=False),  # flag OFF
+    )
+    engine2.run(resume=True)
+    assert not os.path.isdir(store._gen_dir("postings", orphan_gen))
+
+
 def test_robots_from_pages_gates_crawl(spark, tmp_path):
     """SURVEY §2.5 bootstrap path: robots rules parsed OUT OF the pages
     store (the corpus holds host/robots.txt like any page) gate the crawl
