@@ -5,9 +5,20 @@ full crawl-engine run at ``$SPARK_GRAFT_SF_DIR`` (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Noise control (round-4 revision): the whole suite runs
+``$SPARK_GRAFT_BENCH_REPEATS`` (default 2) INTERLEAVED rounds — every
+query once per round, in the same order, then the crawl loops — and each
+reported number is the MINIMUM across rounds. The work is deterministic
+and identical per round, so min = the least-interference estimate; this
+VM's single-shot numbers drifted ±30% round-over-round (word_index
+2.28→2.96 s with no code change), which made driver-recorded deltas
+unfalsifiable. Raw per-round values ride along under "rounds" so the
+spread itself is visible in BENCH_r{N}.json.
+
 The crawl benchmark runs the real generation loop over a deterministic
 Zipf-skewed synthetic pages table (one hot host owning ~30% of URLs —
-SURVEY.md §5.2.6) cached under /tmp; ``urls_per_sec`` is reported alongside.
+SURVEY.md §5.2.6) cached under /tmp; ``urls_per_sec`` is reported from
+the fastest round.
 """
 
 from __future__ import annotations
@@ -15,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
 import tempfile
 import time
@@ -121,6 +133,9 @@ def bench_crawl(spark, sf: float, max_generations: int = 6,
     t0 = time.time()
     summary = engine.run(seeds=seeds)
     secs = time.time() - t0
+    # drop this run's store immediately: leftover dirty pages from a
+    # multi-GB store measurably perturb the NEXT timed run on this VM
+    shutil.rmtree(store, ignore_errors=True)
     return {
         "crawl_sec": secs,
         "crawled": summary["crawled"],
@@ -132,6 +147,7 @@ def bench_crawl(spark, sf: float, max_generations: int = 6,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
 
@@ -150,15 +166,28 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        timings[name] = round(_run_query(spark, fn, sf_dir), 3)
+    # interleaved rounds: drift in box state hits every query equally;
+    # per-query statistic = min across rounds (deterministic identical work)
+    rounds: list[dict[str, float]] = []
+    crawls: list[dict] = []
+    crawls_policied: list[dict] = []
+    for _ in range(repeats):
+        rnd: dict[str, float] = {}
+        for name, fn in QUERIES.items():
+            rnd[name] = round(_run_query(spark, fn, sf_dir), 3)
+        crawl = bench_crawl(spark, sf)
+        rnd["crawl_loop"] = round(crawl["crawl_sec"], 3)
+        crawls.append(crawl)
+        crawl_p = bench_crawl(spark, sf, policied=True)
+        rnd["crawl_loop_policied"] = round(crawl_p["crawl_sec"], 3)
+        crawls_policied.append(crawl_p)
+        rounds.append(rnd)
 
-    crawl = bench_crawl(spark, sf)
-    timings["crawl_loop"] = round(crawl["crawl_sec"], 3)
-    crawl_policied = bench_crawl(spark, sf, policied=True)
-    timings["crawl_loop_policied"] = round(crawl_policied["crawl_sec"], 3)
-
+    timings = {
+        name: min(r[name] for r in rounds) for name in rounds[0]
+    }
+    best_crawl = min(crawls, key=lambda c: c["crawl_sec"])
+    best_crawl_p = min(crawls_policied, key=lambda c: c["crawl_sec"])
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -168,9 +197,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "crawl": crawl,
-                "crawl_policied": crawl_policied,
+                "crawl": best_crawl,
+                "crawl_policied": best_crawl_p,
                 "cpus": cpus,
+                "repeats": repeats,
+                "statistic": "min over interleaved repeats",
+                "rounds": rounds,
             }
         )
     )
