@@ -122,6 +122,24 @@ _FRONTIER_SCHEMA = ("url string, host string, path array<bigint>, "
                     "discovered_from string")
 
 
+def first_wins_pool(pool: DataFrame) -> DataFrame:
+    """First-wins per url over an expansion pool as a MIN_BY AGGREGATION,
+    not a window: the pool is dup-heavy (every page has ~fanout parents),
+    and a declarative min_by gets map-side partial aggregation — the
+    shuffle carries at most one row per (url, map partition) instead of
+    the whole pool. Module-level so the plan-regression test can assert
+    the partial-aggregate-before-exchange shape the scale posture
+    depends on."""
+    order_key = F.struct(
+        F.size("path").alias("l"), F.col("path").alias("p")
+    )
+    return pool.groupBy("url").agg(
+        F.min_by(
+            F.struct("host", "path", "discovered_from"), order_key
+        ).alias("r")
+    ).select("url", "r.host", "r.path", "r.discovered_from")
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -591,7 +609,17 @@ class CrawlEngine:
         allowed, blocked = self._robots_gate(frontier)
         if not streamlined:
             allowed = allowed.persist()
-        robots_blocked = blocked.count() if self._rules is not None else 0
+        # informational counts are skipped in light mode EVERYWHERE, not
+        # just on the fully-streamlined path: a policied generation
+        # otherwise pays 2 extra count jobs (~1 s fixed floor per
+        # generation at 32 threads — measured: 64-page generations took
+        # 2.5 s of which ~1 s was the eligible/selected counts)
+        if self._rules is None:
+            robots_blocked = 0
+        elif cfg.light_metrics:
+            robots_blocked = None
+        else:
+            robots_blocked = blocked.count()
 
         budget_in = allowed
         if (
@@ -610,14 +638,16 @@ class CrawlEngine:
         selected, deferred = selected.drop("_score"), deferred.drop("_score")
         if cfg.politeness_k is None:
             selected = allowed  # budget_split returned frontier unchanged
-            if streamlined:
-                eligible_count = selected_count = None
-            else:
-                eligible_count = selected_count = allowed.count()
+            eligible_count = selected_count = (
+                None if cfg.light_metrics else allowed.count()
+            )
         else:
             selected = selected.persist()
-            eligible_count = allowed.count()
-            selected_count = selected.count()
+            if cfg.light_metrics:
+                eligible_count = selected_count = None
+            else:
+                eligible_count = allowed.count()
+                selected_count = selected.count()
 
         # O5: simulated fetch — inner join against the pages store.
         # Frontier side is usually tiny vs a 100 TB pages table → broadcast
@@ -732,24 +762,13 @@ class CrawlEngine:
             F.concat("path", F.array(F.col("pos").cast("bigint"))).alias("path"),
             F.col("parent_url").alias("discovered_from"),
         )
-        # first-wins per url as a MIN_BY AGGREGATION, not a window: the
-        # pool is dup-heavy (every page has ~fanout parents), and a
-        # declarative min_by gets map-side partial aggregation — the
-        # shuffle carries at most one row per (url, map partition)
-        # instead of the whole pool. Running it BEFORE the dedup
-        # anti-join means the join probes only unique urls AND reuses
-        # the groupBy's hash-partitioning on url (no second pool
-        # exchange). Filter-by-crawled commutes with per-url min, so
-        # the result is identical to dedup-then-first-wins.
+        # first-wins BEFORE the dedup anti-join: the join probes only
+        # unique urls AND reuses the groupBy's hash-partitioning on url
+        # (no second pool exchange). Filter-by-crawled commutes with
+        # per-url min, so the result is identical to
+        # dedup-then-first-wins.
         pool = deferred.unionByName(candidates)
-        order_key = F.struct(
-            F.size("path").alias("l"), F.col("path").alias("p")
-        )
-        pool_first = pool.groupBy("url").agg(
-            F.min_by(
-                F.struct("host", "path", "discovered_from"), order_key
-            ).alias("r")
-        ).select("url", "r.host", "r.path", "r.discovered_from")
+        pool_first = first_wins_pool(pool)
         # enqueue-time dedup (O3, THE dedup pass — frontiers commit
         # clean): Bloom-prefiltered exact anti-join on the deduped pool
         next_frontier = self._dedup(
@@ -802,7 +821,8 @@ class CrawlEngine:
             "frontier_size": frontier_size,
             "eligible": (
                 eligible_count + robots_blocked
-                if eligible_count is not None else None
+                if eligible_count is not None and robots_blocked is not None
+                else None
             ),
             "robots_blocked": robots_blocked,
             "selected": selected_count,

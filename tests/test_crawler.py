@@ -631,6 +631,52 @@ def test_light_mode_driver_action_contract(spark, tmp_path, monkeypatch):
     assert {r["url"] for r in engine.crawled().collect()} == golden.url_seen
 
 
+def test_light_mode_policied_driver_action_contract(spark, tmp_path,
+                                                    monkeypatch):
+    """Round-4 extension of the overhead contract: a POLICIED light-mode
+    crawl (per-host budget + robots) must also skip the informational
+    eligible/selected/robots-blocked count jobs — measured ~1 s fixed
+    floor per generation at 32 threads, which dominated small
+    generations of the policied bench loop. Crawl results must still
+    match the simulator."""
+    from pyspark.sql import DataFrame as _DF
+
+    rows, seeds = gen_site(n_pages=40, n_hosts=4, seed=23)
+    golden = simulate_generations(pages_map(rows), seeds, politeness_k=2)
+
+    calls = {"count": 0, "collect": 0}
+    orig_count, orig_collect = _DF.count, _DF.collect
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    monkeypatch.setattr(_DF, "count", counting_count)
+    monkeypatch.setattr(_DF, "collect", counting_collect)
+    engine = CrawlEngine(
+        spark, pages_df(spark, rows), str(tmp_path / "store"),
+        config=CrawlConfig(salt_buckets=2, frontier_partitions=4,
+                           use_bloom=False, light_metrics=True,
+                           politeness_k=2),
+    )
+    engine.run(seeds=seeds)
+    monkeypatch.undo()
+
+    assert calls["count"] <= 1, calls  # only the initial frontier size
+    assert calls["collect"] == 0, calls
+    assert _order_rows(engine) == golden.crawl_order
+    assert {r["url"] for r in engine.crawled().collect()} == golden.url_seen
+    # exact counts still ride the writes; informational ones are None
+    for m, s in zip(engine.metrics(), golden.metrics):
+        assert m["fetched"] == s["fetched"]
+        assert m["next_frontier"] == s["next_frontier"]
+        assert m["eligible"] is None and m["selected"] is None
+
+
 def test_sitemap_seed_bootstrap(spark, tmp_path):
     """Sitemap-driven seeding (robots.sitemap_seeds_from_pages): Sitemap:
     URLs in stored robots.txt rows resolve to sitemap XML pages in the

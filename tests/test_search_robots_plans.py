@@ -276,6 +276,30 @@ def test_word_index_query_prunes_to_text_column(spark):
     assert plan.count("hashpartitioning") == 1  # partial agg → one shuffle
 
 
+def test_expansion_first_wins_partial_aggregates_before_exchange(spark):
+    """The frontier-expansion first-wins must stay a declarative min_by
+    aggregation with MAP-SIDE partial combine: the shuffle then carries
+    at most one row per (url, map partition) of the dup-heavy pool
+    instead of the whole pool. A window-function rewrite (or anything
+    that loses the partial phase) would shuffle the full pool — the
+    100 TB regression this test pins."""
+    from owlfrontier.crawler import first_wins_pool
+
+    pool = spark.createDataFrame(
+        [("u1", "h1", [0, 1], "p1"), ("u1", "h1", [0], "p0"),
+         ("u2", "h2", [2], "p0")],
+        "url string, host string, path array<bigint>, "
+        "discovered_from string",
+    )
+    plan = _plan(first_wins_pool(pool))
+    assert "partial_min_by" in plan
+    # exactly one exchange, and the partial aggregate runs UPSTREAM of it
+    # (plan text prints top-down, so upstream == later in the string)
+    assert plan.count("Exchange") == 1
+    assert plan.index("partial_min_by") > plan.index("Exchange")
+    assert "Window" not in plan  # the non-partial formulation
+
+
 def test_dedup_antijoin_broadcasts_seen_side(spark):
     from owlfrontier.queries import QUERIES
 
