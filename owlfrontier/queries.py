@@ -882,16 +882,24 @@ _IVF_TOPK = 5
 _IVF_NQUERIES = 5
 
 
-def q_ann_ivf_topk(spark, sf_dir):
+def q_ann_ivf_topk(spark, sf_dir, nprobe: int = _IVF_NPROBE,
+                   topk: int = _IVF_TOPK):
     """IVF search — completes the ANN IVF path (q_ann_ivf_assign is the
-    build side): each query probes its _IVF_NPROBE nearest centroids and
+    build side): each query probes its ``nprobe`` nearest centroids and
     ranks exact cosine ONLY over those centroids' inverted lists, never
     the full corpus. Scale shape: assignment and probe selection are
     per-row array folds over the broadcast codebook literal (zero
     shuffle); the probe→candidate step is an equi-join on centroid id
     with the tiny probe side broadcast, so the corpus is scanned once and
     only 1/K·nprobe of it reaches the ranking window — vs the bruteforce
-    baseline's full crossJoin."""
+    baseline's full crossJoin.
+
+    ``nprobe`` is THE recall/cost knob: each +1 scans one more inverted
+    list (~1/K of the corpus) per query; ``nprobe == _IVF_K`` probes
+    every list and returns exactly the brute-force answer. The recall
+    contract (tests/test_ann_recall.py) pins recall@k ≥ 0.8 at the
+    default nprobe on a clustered corpus, monotone non-decreasing in
+    nprobe, and == 1.0 at nprobe == K."""
     e = _emb(spark, sf_dir)
     cent_sql = _ivf_cent_sql(e)
     quant = _spread(e).select(
@@ -926,7 +934,7 @@ def q_ann_ivf_topk(spark, sf_dir):
                 f"slice(array_sort(zip_with({dists}, "
                 f"sequence(0, {_IVF_K - 1}), "
                 f"(d, i) -> struct(d AS d, cast(i as bigint) AS cid))), "
-                f"1, {_IVF_NPROBE})"
+                f"1, {nprobe})"
             ).alias("probe"),
         )
         .select("query_id", "qv", F.explode("probe").alias("p"))
@@ -943,7 +951,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rnk") <= _IVF_TOPK)
+        .where(F.col("rnk") <= topk)
         .select("query_id", "neighbor_id", "rnk")
     )
 
@@ -1265,6 +1273,128 @@ q AS (SELECT vec_id, [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q
       FROM embeddings),
 cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+s AS (SELECT c.a_id, c.b_id,
+             round(
+               list_reduce(list_prepend(0::BIGINT,
+                 [qa.q[i] * qb.q[i] for i in generate_series(1, len(qa.q))]),
+                 (acc, v) -> acc + v)::DOUBLE
+               / (sqrt(list_reduce(list_prepend(0::BIGINT,
+                    [x * x for x in qa.q]), (acc, v) -> acc + v)::DOUBLE)
+                  * sqrt(list_reduce(list_prepend(0::BIGINT,
+                    [x * x for x in qb.q]), (acc, v) -> acc + v)::DOUBLE)),
+               6) AS cos_q
+      FROM cand c
+      JOIN q qa ON qa.vec_id = c.a_id
+      JOIN q qb ON qb.vec_id = c.b_id)
+SELECT a_id, b_id, cos_q FROM s WHERE cos_q >= {_LSH_PAIR_COS}
+"""
+
+
+_LSH_BANDS = 4
+_LSH_BAND_PLANES = 4  # bands × band-planes == _LSH_PLANES (16)
+
+
+def q_ann_lsh_pairs_banded(spark, sf_dir):
+    """Embedding near-dup candidate generation with BANDED hyperplane LSH
+    — the recall-correct scale path. Single-bucket LSH (q_ann_lsh_pairs)
+    requires ALL planes to agree, so even near-identical vectors
+    (cos 0.99, per-plane agreement ~0.955) collide with probability only
+    0.955^8 ≈ 0.69; banding (the minhash-LSH OR-of-ANDs shape) splits the
+    16 planes into 4 bands of 4 and a pair is a candidate if ANY band's
+    sub-bucket matches: miss probability (1 − 0.955⁴)⁴ ≈ 0.001. Recall
+    contract in tests/test_ann_recall.py.
+
+    Scale shape: the 16-bit bucket is ONE per-row fold over the broadcast
+    sign matrix (shared with q_ann_lsh_buckets); band keys are arithmetic
+    bit-slices of it (no extra projection); candidates come from
+    4 equi-self-joins expressed as one join on (band,
+    sub-bucket) after a 4× explode; pairs found by several bands dedup
+    with a groupBy BEFORE the exact-cosine filter, so each candidate pair
+    is scored once. Never all-pairs."""
+    e = _emb(spark, sf_dir)
+    first = e.select(F.size("embedding").alias("d")).first()
+    dim = first["d"] if first is not None else 0
+    quant = _spread(e.where(F.size("embedding") == dim)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(round(cast(x as double) * 1000) as bigint))"
+        ).alias("q"),
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(round(cast(x as double) * 1000000.0D) as bigint))"
+        ).alias("xi"),
+    )
+    bucket = _lsh_bucket_expr(dim, _LSH_PLANES)
+    bk = quant.select(
+        "vec_id", "q", F.expr(bucket).alias("bucket")
+    ).localCheckpoint(eager=True)
+    band_keys = F.array(*[
+        F.struct(
+            F.lit(b).cast("bigint").alias("band"),
+            F.expr(
+                f"(bucket div {1 << (b * _LSH_BAND_PLANES)}) "
+                f"% {1 << _LSH_BAND_PLANES}"
+            ).cast("bigint").alias("bb"),
+        )
+        for b in range(_LSH_BANDS)
+    ])
+    keys = bk.select(
+        "vec_id", "q", F.explode(band_keys).alias("k")
+    ).select("vec_id", "q", "k.band", "k.bb")
+    a = keys.select(
+        F.col("vec_id").alias("a_id"), F.col("q").alias("qa"), "band", "bb"
+    )
+    b = keys.select(
+        F.col("vec_id").alias("b_id"), F.col("q").alias("qb"), "band", "bb"
+    )
+    cand = (
+        a.join(b, ["band", "bb"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")  # OR over bands: score each pair once
+        .agg(F.first("qa").alias("qa"), F.first("qb").alias("qb"))
+    )
+    dot = ("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+           "cast(0 as bigint), (acc, v) -> acc + v)")
+    na = ("aggregate(transform(qa, x -> x * x), "
+          "cast(0 as bigint), (acc, v) -> acc + v)")
+    nb = ("aggregate(transform(qb, x -> x * x), "
+          "cast(0 as bigint), (acc, v) -> acc + v)")
+    cos = F.expr(
+        f"cast({dot} as double) / "
+        f"(sqrt(cast({na} as double)) * sqrt(cast({nb} as double)))"
+    )
+    return (
+        cand.select("a_id", "b_id", F.round(cos, 6).alias("cos_q"))
+        .where(F.col("cos_q") >= _LSH_PAIR_COS)
+    )
+
+
+SQL_ANN_LSH_PAIRS_BANDED = f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                  unnest(embedding) AS x
+           FROM embeddings),
+planes AS (SELECT unnest(generate_series(0, {_LSH_PLANES - 1}))::INT AS b),
+proj AS (
+  SELECT vec_id, b,
+         sum(round(x::DOUBLE * 1e6)::BIGINT *
+             (CASE WHEN {_h60_duck("b::VARCHAR || ',' || d::VARCHAR")} % 2 = 0
+                   THEN 1 ELSE -1 END)) AS proj
+  FROM e CROSS JOIN planes GROUP BY vec_id, b),
+bk AS (SELECT vec_id,
+              sum(CASE WHEN proj > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
+       FROM proj GROUP BY vec_id),
+bands AS (SELECT vec_id, band,
+                 (bucket // (1::BIGINT << (band * {_LSH_BAND_PLANES})))
+                 % {1 << _LSH_BAND_PLANES} AS bb
+          FROM bk CROSS JOIN
+               (SELECT unnest(generate_series(0, {_LSH_BANDS - 1}))::BIGINT
+                AS band)),
+cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bb = b.bb AND a.vec_id < b.vec_id),
+q AS (SELECT vec_id, [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q
+      FROM embeddings),
 s AS (SELECT c.a_id, c.b_id,
              round(
                list_reduce(list_prepend(0::BIGINT,
@@ -2105,6 +2235,7 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_pairs": q_ann_lsh_pairs,
+    "ann_lsh_pairs_banded": q_ann_lsh_pairs_banded,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_train": q_ann_ivf_train,
     "ann_ivf_train_ff": q_ann_ivf_train_ff,
@@ -2148,6 +2279,7 @@ ORACLE = {
     "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_lsh_pairs": SQL_ANN_LSH_PAIRS,
+    "ann_lsh_pairs_banded": SQL_ANN_LSH_PAIRS_BANDED,
     "ann_ivf_assign": SQL_ANN_IVF_ASSIGN,
     "ann_ivf_train": SQL_ANN_IVF_TRAIN,
     "ann_ivf_train_ff": SQL_ANN_IVF_TRAIN_FF,
