@@ -1898,14 +1898,7 @@ GROUP BY a.doc_id
 """
 
 
-def q_search_highlights(spark, sf_dir):
-    """O16 full search surface — phrase hits over ``_all`` plus ES-config
-    highlight fragments (search.py; elastic_search.go:111-157). At slop=0
-    the fragmenter is deterministic token/offset arithmetic, so this now
-    has a full DuckDB oracle (SQL_SEARCH_HIGHLIGHTS below: greedy 150-char
-    token-aligned chunking via a recursive CTE over a precomputed
-    next-boundary table); the slop=1 string semantics stay pinned by the
-    pytest goldens."""
+def _highlights_query(spark, sf_dir, slop: int):
     from owlfrontier.search import search_with_highlights
 
     docs = _docs(spark, sf_dir).select(
@@ -1913,7 +1906,7 @@ def q_search_highlights(spark, sf_dir):
         F.lit("").alias("title"),
         F.array(F.col("text")).alias("text"),
     )
-    res = search_with_highlights(docs, "table scan", slop=0, limit=20)
+    res = search_with_highlights(docs, "table scan", slop=slop, limit=20)
     return res.select(
         "url",
         "score",
@@ -1922,15 +1915,41 @@ def q_search_highlights(spark, sf_dir):
     )
 
 
-# The exact Python fragmenter (search.py:highlight_fragments) at slop=0 in
-# SQL. Single-line docs (the query wraps each document's text as one line),
-# so line_no is constant and fragment order is (-score, start_offset).
-# Greedy token-aligned chunking: for each chunk start i, the chunk end is
-# the greatest token j with end_char(j) - off(i) <= 150 (end_char is
-# monotone in pos, so greedy == max-fitting); chunk starts then follow by
-# a recursive CTE over that precomputed `nxt` table (no aggregates in the
-# recursive term — DuckDB restriction).
-SQL_SEARCH_HIGHLIGHTS = """
+def q_search_highlights(spark, sf_dir):
+    """O16 full search surface — phrase hits over ``_all`` plus ES-config
+    highlight fragments (search.py; elastic_search.go:111-157) at slop=0.
+    The fragmenter is deterministic token/offset arithmetic, so this has
+    a full DuckDB oracle (_search_highlights_sql below: greedy 150-char
+    token-aligned chunking via a recursive CTE over a precomputed
+    next-boundary table)."""
+    return _highlights_query(spark, sf_dir, slop=0)
+
+
+def q_search_highlights_slop1(spark, sf_dir):
+    """The reference's ACTUAL ES search config — phrase_slop 1
+    (elastic_search.go:95) — oracle-paired end to end. vs slop=0: the hit
+    score counts positional PAIRS with the second term within 2 positions
+    of the first (search_phrase's join is p1 < p2 <= p1 + 1 + slop), and
+    a fragment phrase-start is any first-term position with the second
+    term within that window (DISTINCT per start — two qualifying
+    second-term positions are still one occurrence start)."""
+    return _highlights_query(spark, sf_dir, slop=1)
+
+
+def _search_highlights_sql(slop: int) -> str:
+    """The exact Python fragmenter (search.py:highlight_fragments) in SQL,
+    parameterized by phrase slop. Single-line docs (the query wraps each
+    document's text as one line), so line_no is constant and fragment
+    order is (-score, start_offset). Greedy token-aligned chunking: for
+    each chunk start i, the chunk end is the greatest token j with
+    end_char(j) - off(i) <= 150 (end_char is monotone in pos, so greedy
+    == max-fitting); chunk starts then follow by a recursive CTE over
+    that precomputed `nxt` table (no aggregates in the recursive term —
+    DuckDB restriction). ``pairs`` drives the hit score (one row per
+    (p1, p2) positional match — the search_phrase join semantics);
+    ``starts`` is its DISTINCT first-position projection (the fragment
+    phrase-occurrence starts). At slop=0 the two coincide."""
+    return f"""
 WITH RECURSIVE docs AS (
   SELECT 'doc:' || doc_id::VARCHAR AS url, string_split(text, ' ') AS toks
   FROM documents
@@ -1939,15 +1958,19 @@ words AS (
   SELECT url, generate_subscripts(toks, 1) AS pos, unnest(toks) AS word
   FROM docs
 ),
-starts AS (
+pairs AS (
   SELECT a.url, a.pos AS s
-  FROM words a JOIN words b ON b.url = a.url AND b.pos = a.pos + 1
+  FROM words a JOIN words b ON b.url = a.url
+    AND b.pos BETWEEN a.pos + 1 AND a.pos + {slop + 1}
   WHERE a.word = 'table' AND b.word = 'scan'
 ),
-hits AS (
-  SELECT url, count(*)::BIGINT AS score FROM starts GROUP BY url
-  ORDER BY score DESC, url LIMIT 20
+starts AS (
+  SELECT DISTINCT url, s FROM pairs
 ),
+hits AS (
+  SELECT url, count(*)::BIGINT AS score FROM pairs GROUP BY url
+  ORDER BY score DESC, url LIMIT 20
+),""" + """
 offs AS (
   SELECT w.url, w.pos, w.word,
          COALESCE(sum(len(w.word) + 1) OVER
@@ -2014,6 +2037,10 @@ LEFT JOIN fragstats f ON f.url = h.url
 LEFT JOIN (SELECT url, rendered FROM ranked WHERE rn = 1) t
   ON t.url = h.url
 """
+
+
+SQL_SEARCH_HIGHLIGHTS = _search_highlights_sql(0)
+SQL_SEARCH_HIGHLIGHTS_SLOP1 = _search_highlights_sql(1)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -2253,6 +2280,7 @@ QUERIES = {
     "corpus_select": q_corpus_select,
     "search_phrase": q_search_phrase,
     "search_highlights": q_search_highlights,
+    "search_highlights_slop1": q_search_highlights_slop1,
     "multimodal_features": q_multimodal_features,  # rows-only (binary decode)
     "frame_sample": q_frame_sample,  # rows-only (video-analog frame extraction)
     "neardup_embedding": q_neardup_embedding,
@@ -2297,6 +2325,7 @@ ORACLE = {
     "corpus_select": SQL_CORPUS_SELECT,
     "search_phrase": SQL_SEARCH_PHRASE,
     "search_highlights": SQL_SEARCH_HIGHLIGHTS,
+    "search_highlights_slop1": SQL_SEARCH_HIGHLIGHTS_SLOP1,
     "neardup_embedding": SQL_NEARDUP_EMBEDDING,
     "stats_rollup": SQL_STATS_ROLLUP,
     "events_daily": SQL_EVENTS_DAILY,
