@@ -5,6 +5,8 @@ this sandbox) — the contract body is shared, so the Iceberg path is covered
 by the identical assertions the moment the jar is present.
 """
 
+import re
+
 import pytest
 
 from owlfrontier.storage import (
@@ -82,6 +84,123 @@ def test_iceberg_store_contract(spark):
     if not iceberg_available(spark):
         pytest.skip("iceberg-spark-runtime not on the classpath")
     _contract(spark, IcebergStore(spark, "spark_catalog.owl_contract"))
+
+
+def _fake_iceberg(spark, tmp_path, monkeypatch):
+    from fake_iceberg import FakeIcebergSession, patch_writeTo
+
+    fake = FakeIcebergSession(spark, str(tmp_path / "icecat"))
+    patch_writeTo(monkeypatch, fake)
+    return fake
+
+
+def test_iceberg_store_contract_offline(spark, tmp_path, monkeypatch):
+    """The full seam contract replayed against IcebergStore's real logic
+    through the offline catalog stand-in (tests/fake_iceberg.py) — the
+    commit_seq protocol, partition drops, manifest reads and metric
+    round-trips can no longer rot silently behind the jar-absent skip.
+    The transcript assertion pins the statement/write protocol shapes."""
+    fake = _fake_iceberg(spark, tmp_path, monkeypatch)
+    store = IcebergStore(fake, "fakecat.owl")
+    _contract(spark, store)
+    t = "\n".join(fake.transcript)
+    assert "CREATE NAMESPACE IF NOT EXISTS fakecat.owl" in t
+    assert "WRITETO fakecat.owl.frontier CREATE partitionedBy=['generation']" in t
+    assert "WRITETO fakecat.owl.meta APPEND" in t  # the atomic commit point
+    assert "WRITETO fakecat.owl.crawled OVERWRITE_PARTITIONS" in t
+    assert re.search(
+        r"DELETE FROM fakecat\.owl\.crawled WHERE generation NOT IN \(0, 1\)", t
+    )
+
+
+def test_iceberg_compact_offline(spark, tmp_path, monkeypatch):
+    """compact() on the Iceberg backend: merge committed generations into
+    one partition, commit through the meta append, delete the old
+    partitions — rows (incl. any per-row lineage column) unchanged."""
+    fake = _fake_iceberg(spark, tmp_path, monkeypatch)
+    store = IcebergStore(fake, "fakecat.cmp")
+    for g in range(4):
+        store.write_gen(_mk_df(spark, [f"u{g}a", f"u{g}b"], extra=g), "crawled", g)
+    store.commit(3, [], frontier_empty=False, crawled_gens=[0, 1, 2, 3])
+    before = sorted(
+        (r["url"], r["n"]) for r in store.read_crawled([0, 1, 2, 3]).collect()
+    )
+    res = store.compact(n_files=2)
+    assert res["compacted"] and res["merged"] == 4
+    m = store.read_manifest()
+    assert m["crawled_generations"] == [res["target"]]
+    after = sorted(
+        (r["url"], r["n"])
+        for r in store.read_crawled(m["crawled_generations"]).collect()
+    )
+    assert after == before
+    # old partitions are gone from the table
+    gens_left = {
+        r["generation"]
+        for r in fake.table("fakecat.cmp.crawled")
+        .select("generation").distinct().collect()
+    }
+    assert gens_left == {res["target"]}
+
+
+def test_iceberg_legacy_meta_migration_offline(spark, tmp_path, monkeypatch):
+    """ADVICE item: a meta table committed by the pre-commit_seq version
+    must migrate in place (ADD COLUMN + backfill from generation order)
+    instead of failing on resume — read_manifest returns the latest
+    legacy commit, and the next commit appends with a correctly ordered
+    commit_seq."""
+    import json
+
+    fake = _fake_iceberg(spark, tmp_path, monkeypatch)
+    # fabricate the legacy store: 3-column meta, two old commits
+    legacy = spark.createDataFrame(
+        [
+            (0, False, json.dumps([0])),
+            (1, False, json.dumps([0, 1])),
+        ],
+        "generation int, frontier_empty boolean, crawled_gens string",
+    )
+    legacy.writeTo("fakecat.leg.meta").using("iceberg").create()
+    store = IcebergStore(fake, "fakecat.leg")
+    m = store.read_manifest()  # triggers migration
+    assert m["generation"] == 1 and m["crawled_generations"] == [0, 1]
+    t = "\n".join(fake.transcript)
+    assert "ALTER TABLE fakecat.leg.meta ADD COLUMN commit_seq BIGINT" in t
+    assert "UPDATE fakecat.leg.meta SET commit_seq = generation" in t
+    # post-migration commits keep a total order above the legacy rows
+    store.commit(2, [], frontier_empty=True, crawled_gens=[0, 1, 2])
+    m2 = store.read_manifest()
+    assert m2["generation"] == 2 and m2["frontier_empty"] is True
+    seqs = [
+        r["commit_seq"]
+        for r in fake.table("fakecat.leg.meta")
+        .orderBy("commit_seq").collect()
+    ]
+    assert seqs == [0, 1, 2]
+
+
+def test_engine_crawl_on_offline_iceberg(spark, tmp_path, monkeypatch):
+    """A real multi-generation crawl + resume with the engine's store
+    being IcebergStore on the offline catalog: the north_rule's Iceberg
+    deployment shape, exercised end to end without the jar."""
+    from owlfrontier.crawler import CrawlConfig, CrawlEngine
+    from owlfrontier.fixtures import gen_site, pages_df, pages_map
+    from owlfrontier.simulate import simulate_generations
+
+    rows, seeds = gen_site(n_pages=30, n_hosts=3, seed=9)
+    golden = simulate_generations(pages_map(rows), seeds)
+    fake = _fake_iceberg(spark, tmp_path, monkeypatch)
+    store = IcebergStore(fake, "fakecat.crawl")
+    cfg = dict(salt_buckets=2, frontier_partitions=4, use_bloom=False)
+    eng = CrawlEngine(spark, pages_df(spark, rows), store,
+                      config=CrawlConfig(max_generations=2, **cfg))
+    eng.run(seeds=seeds)  # stop mid-crawl
+    eng2 = CrawlEngine(spark, pages_df(spark, rows), store,
+                       config=CrawlConfig(max_generations=100, **cfg))
+    eng2.run(resume=True)
+    assert {r["url"] for r in eng2.crawled().collect()} == golden.url_seen
+    assert [(r["seq"], r["generation"], r["url"])
+            for r in eng2.crawl_order().collect()] == golden.crawl_order
 
 
 def test_iceberg_unavailable_raises_clearly(spark):
