@@ -10,12 +10,14 @@ deterministic content fingerprints.
 Codecs: uncompressed BMP (24/32-bit BI_RGB), PNG (8-bit gray/RGB/RGBA/
 palette, all five scanline filters, non-interlaced), GIF (LZW, animation,
 interlace, transparency, disposal), baseline JPEG (generic DHT Huffman,
-DC/AC entropy decode, dequant+IDCT, 4:2:0 upsampling, restart markers)
-and PCM WAV decode for REAL using only the stdlib (zlib/struct/wave) +
-numpy — genuine byte→array paths per modality, pytest-covered. Remaining
-compressed formats (WebP/MP3/...) stay STUBBED: those codec libraries
-are not in this container, so for them ``decode_image``/``decode_audio``
-raise ``NotImplementedError`` unless ``fake=True``, which substitutes a
+DC/AC entropy decode, dequant+IDCT, 4:2:0 upsampling, restart markers),
+lossless WebP (VP8L: prefix codes, color cache, meta groups, LZ77 over
+the 2D distance map, all four transforms) and PCM WAV decode for REAL
+using only the stdlib (zlib/struct/wave) + numpy — genuine byte→array
+paths per modality, pytest-covered. Remaining compressed formats (lossy
+WebP/MP3/...) stay STUBBED: those codec libraries are not in this
+container, so for them ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless ``fake=True``, which substitutes a
 deterministic content-derived fake (stable across runs, good enough to
 exercise every downstream operator).
 """
@@ -939,15 +941,598 @@ def encode_jpeg(img: np.ndarray, lq: int = 1, cq: int = 1,
     return bytes(out)
 
 
+# --- WebP lossless (VP8L) ----------------------------------------------------
+# Built from the public "WebP Lossless Bitstream Specification": LSB-first
+# bit reader, canonical prefix codes (simple and code-length-coded, with
+# repeats and max_symbol), color cache, meta prefix groups, LZ77 over the
+# 2D short-distance map, and all four transforms (predictor ×14, color,
+# subtract-green, color-indexing incl. pixel bundling). The encoder emits
+# a compact VALID subset (literal-only, 8-bit identity codes, optional
+# subtract-green / palette) used for round-trip tests plus hand-assembled
+# bitstreams decoded independently of it; no external WebP codec exists
+# in this container to cross-check real-world files, so interop beyond
+# the spec-tested surface is best-effort-per-spec.
+
+
+class _Vp8lBits:
+    """LSB-first bit reader (VP8L convention)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        byte = self.d[self.pos >> 3]
+        b = (byte >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.bit() << i
+        return v
+
+
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                   13, 14, 15)
+
+
+def _vp8l_canonical(lengths: list[int]):
+    """Code lengths → decode table {(len, code): sym} (deflate-style
+    canonical assignment, MSB-first code bits). A single-symbol code
+    decodes with ZERO bits (spec: 'a prefix code with one symbol');
+    returned as the bare symbol int."""
+    syms = [s for s, ln in enumerate(lengths) if ln > 0]
+    if not syms:
+        raise ValueError("empty prefix code")
+    if len(syms) == 1:
+        return syms[0]
+    max_len = max(lengths)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    next_code = [0] * (max_len + 2)
+    code = 0
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    table = {}
+    for s in range(len(lengths)):
+        ln = lengths[s]
+        if ln:
+            table[(ln, next_code[ln])] = s
+            next_code[ln] += 1
+    return table
+
+
+def _vp8l_read_sym(br: _Vp8lBits, code) -> int:
+    if isinstance(code, int):
+        return code  # single-symbol code: zero bits
+    ln, acc = 0, 0
+    while True:
+        acc = (acc << 1) | br.bit()
+        ln += 1
+        sym = code.get((ln, acc))
+        if sym is not None:
+            return sym
+        if ln > 15:
+            raise ValueError("invalid VP8L prefix code")
+
+
+def _vp8l_read_code(br: _Vp8lBits, alphabet_size: int):
+    if br.bit():  # simple code: 1-2 symbols stored literally
+        n = br.bit() + 1
+        s0 = br.bits(8) if br.bit() else br.bit()
+        if n == 1:
+            return s0
+        s1 = br.bits(8)
+        return {(1, 0): s0, (1, 1): s1}  # code 0 → first-read symbol
+    num_clc = 4 + br.bits(4)
+    cl_lengths = [0] * 19
+    for i in range(num_clc):
+        cl_lengths[_VP8L_CLC_ORDER[i]] = br.bits(3)
+    cl_code = _vp8l_canonical(cl_lengths)
+    if br.bit():  # bounded number of length symbols to read
+        length_nbits = 2 + 2 * br.bits(3)
+        max_read = 2 + br.bits(length_nbits)
+    else:
+        max_read = alphabet_size
+    lengths = [0] * alphabet_size
+    prev, i = 8, 0
+    while i < alphabet_size and max_read > 0:
+        max_read -= 1
+        cl = _vp8l_read_sym(br, cl_code)
+        if cl < 16:
+            lengths[i] = cl
+            i += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            for _ in range(3 + br.bits(2)):
+                if i < alphabet_size:
+                    lengths[i] = prev
+                    i += 1
+        elif cl == 17:
+            i += 3 + br.bits(3)
+        else:
+            i += 11 + br.bits(7)
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_dist_map() -> list[tuple[int, int]]:
+    """The 120-entry 2D short-distance map: the nearest (x, y) offsets
+    ordered by squared distance, larger y first on ties, positive x
+    before negative (the spec's published ordering)."""
+    cand = []
+    for y in range(8):
+        for x in range(-8, 9):
+            if y == 0 and x <= 0:
+                continue
+            cand.append((x * x + y * y, -y, 0 if x > 0 else 1, abs(x), x, y))
+    cand.sort()
+    return [(c[4], c[5]) for c in cand[:120]]
+
+
+_VP8L_DIST_MAP = _vp8l_dist_map()
+
+
+def _vp8l_prefix_val(br: _Vp8lBits, sym: int) -> int:
+    if sym < 4:
+        return sym + 1
+    eb = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << eb
+    return offset + br.bits(eb) + 1
+
+
+def _vp8l_read_image(br: _Vp8lBits, w: int, h: int,
+                     allow_meta: bool) -> list[int]:
+    """Entropy-coded ARGB image → flat list of w*h uint32 pixels
+    (row-major). Handles color cache, meta prefix groups (main image
+    only), literals, LZ77 backward references, and cache hits."""
+    cache_bits = br.bits(4) if br.bit() else 0
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    group_idx, hbits, hw = None, 0, 0
+    n_groups = 1
+    if allow_meta and br.bit():
+        hbits = 2 + br.bits(3)
+        hw = (w + (1 << hbits) - 1) >> hbits
+        hh = (h + (1 << hbits) - 1) >> hbits
+        meta = _vp8l_read_image(br, hw, hh, False)
+        group_idx = [(p >> 8) & 0xFFFF for p in meta]
+        n_groups = max(group_idx) + 1
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _vp8l_read_code(br, green_size),
+            _vp8l_read_code(br, 256),   # red
+            _vp8l_read_code(br, 256),   # blue
+            _vp8l_read_code(br, 256),   # alpha
+            _vp8l_read_code(br, 40),    # distance
+        ))
+    out = [0] * (w * h)
+    pos = 0
+    mask = (1 << 32) - 1
+    while pos < w * h:
+        if group_idx is not None:
+            x, y = pos % w, pos // w
+            gi = group_idx[(y >> hbits) * hw + (x >> hbits)]
+        else:
+            gi = 0
+        gcode, rcode, bcode, acode, dcode = groups[gi]
+        s = _vp8l_read_sym(br, gcode)
+        if s < 256:  # literal: G already read, then R, B, A
+            red = _vp8l_read_sym(br, rcode)
+            blue = _vp8l_read_sym(br, bcode)
+            alpha = _vp8l_read_sym(br, acode)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & mask) >> (32 - cache_bits)] = px
+        elif s < 280:  # LZ77 backward reference
+            length = _vp8l_prefix_val(br, s - 256)
+            dist_code = _vp8l_prefix_val(br, _vp8l_read_sym(br, dcode))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(1, dx + dy * w)
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & mask) >> (32 - cache_bits)] = px
+        else:  # color-cache hit
+            out[pos] = cache[s - 280]
+            pos += 1
+    return out
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_clamp_add_sub_full(l: int, t: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((l >> sh) & 255) + ((t >> sh) & 255) - ((tl >> sh) & 255)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _vp8l_clamp_add_sub_half(ave: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 255
+        b = (tl >> sh) & 255
+        v = a + int((a - b) / 2)  # C-style truncation toward zero
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _vp8l_select(l: int, t: int, tl: int) -> int:
+    p_l = p_t = 0
+    for sh in (24, 16, 8, 0):
+        lc, tc, tlc = (l >> sh) & 255, (t >> sh) & 255, (tl >> sh) & 255
+        p = lc + tc - tlc
+        p_l += abs(p - lc)
+        p_t += abs(p - tc)
+    return l if p_l < p_t else t
+
+
+def _vp8l_predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(l, tr), t)
+    if mode == 6:
+        return _vp8l_avg2(l, tl)
+    if mode == 7:
+        return _vp8l_avg2(l, t)
+    if mode == 8:
+        return _vp8l_avg2(tl, t)
+    if mode == 9:
+        return _vp8l_avg2(t, tr)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(l, tl), _vp8l_avg2(t, tr))
+    if mode == 11:
+        return _vp8l_select(l, t, tl)
+    if mode == 12:
+        return _vp8l_clamp_add_sub_full(l, t, tl)
+    return _vp8l_clamp_add_sub_half(_vp8l_avg2(l, t), tl)
+
+
+def _vp8l_add_pixels(px: int, pred: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= ((((px >> sh) & 255) + ((pred >> sh) & 255)) & 255) << sh
+    return out
+
+
+def _vp8l_delta_int8(t: int, c: int) -> int:
+    ts = t - 256 if t > 127 else t
+    cs = c - 256 if c > 127 else c
+    return (ts * cs) >> 5
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """REAL stdlib-only decode of a LOSSLESS WebP (VP8L) to HxWx3 uint8
+    RGB. Lossy (VP8) and extended (VP8X) files raise with a clear
+    message — those need the DCT/extended-feature codecs this container
+    does not have."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        data = payload[pos + 8:pos + 8 + size]
+        if tag == b"VP8L":
+            return _decode_vp8l(data)
+        if tag in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "only lossless WebP (VP8L) decodes natively; lossy VP8 / "
+                "extended VP8X need codec libraries not in this environment"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("no VP8L chunk in WebP container")
+
+
+def _decode_vp8l(data: bytes) -> np.ndarray:
+    if not data or data[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _Vp8lBits(data[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()  # alpha-used hint
+    if br.bits(3) != 0:
+        raise ValueError("unsupported VP8L version")
+
+    # transforms, in stream order; color-indexing narrows the coded width
+    transforms = []
+    eff_w = w
+    while br.bit():
+        ttype = br.bits(2)
+        if ttype in (0, 1):  # PREDICTOR / COLOR: per-block sub-image
+            bits = 2 + br.bits(3)
+            bw = (eff_w + (1 << bits) - 1) >> bits
+            bh = (h + (1 << bits) - 1) >> bits
+            sub = _vp8l_read_image(br, bw, bh, False)
+            transforms.append(("pred" if ttype == 0 else "color",
+                               bits, sub, bw))
+        elif ttype == 2:
+            transforms.append(("subg",))
+        else:  # COLOR_INDEXING: palette + optional pixel bundling
+            n_colors = br.bits(8) + 1
+            pal_deltas = _vp8l_read_image(br, n_colors, 1, False)
+            palette, acc = [], 0
+            for d in pal_deltas:
+                acc = _vp8l_add_pixels(d, acc)
+                palette.append(acc)
+            width_bits = (3 if n_colors <= 2 else 2 if n_colors <= 4
+                          else 1 if n_colors <= 16 else 0)
+            transforms.append(("palette", palette, width_bits, eff_w))
+            eff_w = (eff_w + (1 << width_bits) - 1) >> width_bits
+
+    pix = _vp8l_read_image(br, eff_w, h, True)
+    cur_w = eff_w
+
+    for tr in reversed(transforms):
+        if tr[0] == "palette":
+            _, palette, width_bits, orig_w = tr
+            if width_bits:
+                per = 1 << width_bits
+                ibits = 8 >> width_bits
+                imask = (1 << ibits) - 1
+                wide = []
+                for y in range(h):
+                    row = pix[y * cur_w:(y + 1) * cur_w]
+                    for x in range(orig_w):
+                        g = (row[x >> width_bits] >> 8) & 255
+                        idx = (g >> ((x % per) * ibits)) & imask
+                        wide.append(palette[idx] if idx < len(palette) else 0)
+                pix = wide
+            else:
+                pix = [
+                    palette[(p >> 8) & 255]
+                    if ((p >> 8) & 255) < len(palette) else 0
+                    for p in pix
+                ]
+            cur_w = orig_w
+        elif tr[0] == "subg":
+            out = []
+            for p in pix:
+                g = (p >> 8) & 255
+                r = (((p >> 16) & 255) + g) & 255
+                b = ((p & 255) + g) & 255
+                out.append((p & 0xFF00FF00) | (r << 16) | b)
+            pix = out
+        elif tr[0] == "color":
+            _, bits, sub, bw = tr
+            out = list(pix)
+            for pos in range(len(out)):
+                x, y = pos % cur_w, pos // cur_w
+                cte = sub[(y >> bits) * bw + (x >> bits)]
+                g2r, g2b, r2b = cte & 255, (cte >> 8) & 255, (cte >> 16) & 255
+                p = out[pos]
+                g = (p >> 8) & 255
+                r = (((p >> 16) & 255) + _vp8l_delta_int8(g2r, g)) & 255
+                b = ((p & 255) + _vp8l_delta_int8(g2b, g)
+                     + _vp8l_delta_int8(r2b, r)) & 255
+                out[pos] = (p & 0xFF00FF00) | (r << 16) | b
+            pix = out
+        else:  # predictor
+            _, bits, sub, bw = tr
+            out = list(pix)
+            for pos in range(len(out)):
+                x, y = pos % cur_w, pos // cur_w
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = out[pos - 1]          # left
+                elif x == 0:
+                    pred = out[pos - cur_w]      # top
+                else:
+                    mode = (sub[(y >> bits) * bw + (x >> bits)] >> 8) & 255
+                    pred = _vp8l_predict(
+                        mode, out[pos - 1], out[pos - cur_w],
+                        out[pos - cur_w - 1], out[pos - cur_w + 1],
+                    )
+                out[pos] = _vp8l_add_pixels(out[pos], pred)
+            pix = out
+
+    arr = np.array(pix, dtype=np.uint32).reshape(h, w)
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[..., 0] = (arr >> 16) & 255
+    rgb[..., 1] = (arr >> 8) & 255
+    rgb[..., 2] = arr & 255
+    return rgb
+
+
+class _Vp8lWriter:
+    """LSB-first bit writer; prefix-code bits go MSB-first."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def _push(self, bit: int) -> None:
+        self.cur |= bit << self.n
+        self.n += 1
+        if self.n == 8:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits):
+            self._push((value >> i) & 1)
+
+    def write_code(self, code: int, length: int) -> None:
+        for i in reversed(range(length)):
+            self._push((code >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _w_identity_code(bw: _Vp8lWriter) -> None:
+    """Normal prefix code: symbols 0..255 all length 8 (a complete 8-bit
+    code whose canonical codeword for s IS s). The code-length code has
+    the single symbol '8' (zero-bit reads), and max_symbol=256 bounds
+    the reads, so the 256 length entries cost zero stream bits."""
+    bw.write(0, 1)   # not simple
+    bw.write(14 - 4, 4)  # read 14 code-length-code lengths (covers sym 8)
+    for s in _VP8L_CLC_ORDER[:14]:
+        bw.write(1 if s == 8 else 0, 3)
+    bw.write(1, 1)   # use max_symbol
+    bw.write(3, 3)   # length_nbits = 2 + 2*3 = 8
+    bw.write(254, 8)  # max_symbol = 2 + 254 = 256
+    # 256 zero-bit reads of '8' follow — nothing to write
+
+
+def _w_simple1(bw: _Vp8lWriter, sym: int) -> None:
+    """Simple prefix code with ONE symbol — all reads cost zero bits."""
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # one symbol
+    if sym >= 2:
+        bw.write(1, 1)
+        bw.write(sym, 8)
+    else:
+        bw.write(0, 1)
+        bw.write(sym, 1)
+
+
+def _w_literal_image(bw: _Vp8lWriter, pixels: list[int],
+                     channels: str = "grb", main: bool = False) -> None:
+    """Entropy-coded image, literal-only: no cache, no meta, identity
+    codes for the channels that vary and zero-bit codes elsewhere.
+    ``channels``: 'grb' = all three vary (alpha fixed 255);
+    'g' = green-only payload (palette indices), r=b=0. The cache bit
+    precedes the meta-prefix bit (main image only) per the spec's
+    stream order."""
+    bw.write(0, 1)  # no color cache
+    if main:
+        bw.write(0, 1)  # no meta prefix codes
+    _w_identity_code(bw)  # green (alphabet 280; lengths end at 256)
+    if channels == "grb":
+        _w_identity_code(bw)  # red
+        _w_identity_code(bw)  # blue
+    else:
+        _w_simple1(bw, 0)     # red
+        _w_simple1(bw, 0)     # blue
+    _w_simple1(bw, 255)       # alpha
+    _w_simple1(bw, 0)         # distance
+    for px in pixels:
+        bw.write_code((px >> 8) & 255, 8)   # green
+        if channels == "grb":
+            bw.write_code((px >> 16) & 255, 8)  # red
+            bw.write_code(px & 255, 8)          # blue
+
+
+def encode_webp_lossless(img: np.ndarray, subtract_green: bool = False,
+                         palette: bool = False) -> bytes:
+    """Minimal VALID lossless WebP encoder for round-trip tests: literal
+    pixels under complete 8-bit identity codes (≈3 bytes/pixel — valid,
+    not compact), optionally behind a SUBTRACT_GREEN transform or a
+    COLOR_INDEXING palette (with pixel bundling when ≤16 colors)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    bw = _Vp8lWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+
+    if palette:
+        flat = img.reshape(-1, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("palette encode needs <= 256 colors")
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(len(colors) - 1, 8)
+        pal_px = [
+            0xFF000000 | (int(c[0]) << 16) | (int(c[1]) << 8) | int(c[2])
+            for c in colors
+        ]
+        deltas, prev = [], 0
+        for p in pal_px:
+            deltas.append(
+                sum(((((p >> sh) & 255) - ((prev >> sh) & 255)) & 255) << sh
+                    for sh in (24, 16, 8, 0))
+            )
+            prev = p
+        _w_literal_image(bw, deltas, channels="grb")
+        bw.write(0, 1)  # end of transforms
+        n = len(colors)
+        width_bits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        per = 1 << width_bits
+        ibits = 8 >> width_bits
+        eff_w = (w + per - 1) // per
+        idx = inverse.reshape(h, w)
+        packed = []
+        for y in range(h):
+            for bx in range(eff_w):
+                g = 0
+                for k in range(per):
+                    x = bx * per + k
+                    if x < w:
+                        g |= int(idx[y, x]) << (k * ibits)
+                packed.append(0xFF000000 | (g << 8))
+        _w_literal_image(bw, packed, channels="g", main=True)
+    else:
+        r = img[..., 0].astype(np.int16)
+        g = img[..., 1].astype(np.int16)
+        b = img[..., 2].astype(np.int16)
+        if subtract_green:
+            bw.write(1, 1)
+            bw.write(2, 2)  # SUBTRACT_GREEN
+            r = (r - g) & 255
+            b = (b - g) & 255
+        bw.write(0, 1)  # end of transforms
+        pixels = [
+            0xFF000000 | (int(rr) << 16) | (int(gg) << 8) | int(bb)
+            for rr, gg, bb in zip(
+                r.reshape(-1), g.reshape(-1), b.reshape(-1)
+            )
+        ]
+        _w_literal_image(bw, pixels, channels="grb", main=True)
+
+    stream = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
+    if len(stream) & 1:
+        chunk += b"\x00"
+    riff_size = 4 + len(chunk)
+    return b"RIFF" + struct.pack("<I", riff_size) + b"WEBP" + chunk
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    BMP, PNG, GIF and baseline JPEG decode for REAL (stdlib struct/zlib +
-    numpy). Remaining formats (WebP/AVIF/TIFF/...) need codec libraries
-    not present in this container: for those, ``fake=True`` produces a
-    deterministic 8x8x3 array derived from the payload digest — stable,
-    collision-resistant, and shaped like the real thing for downstream
-    plumbing."""
+    BMP, PNG, GIF, baseline JPEG and lossless WebP (VP8L) decode for REAL
+    (stdlib struct/zlib + numpy). Remaining formats (lossy WebP/AVIF/
+    TIFF/...) need codec libraries not present in this container: for
+    those, ``fake=True`` produces a deterministic 8x8x3 array derived
+    from the payload digest — stable, collision-resistant, and shaped
+    like the real thing for downstream plumbing."""
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload and payload.startswith(_PNG_SIG):
@@ -956,11 +1541,17 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_gif(payload)
     if payload and payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        try:
+            return decode_webp(payload)
+        except NotImplementedError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "only BMP, PNG, GIF and baseline JPEG decode natively; other "
-            "image codecs are not available in this environment — pass "
-            "fake=True for the deterministic stand-in"
+            "only BMP, PNG, GIF, baseline JPEG and lossless WebP decode "
+            "natively; other image codecs are not available in this "
+            "environment — pass fake=True for the deterministic stand-in"
         )
     digest = hashlib.sha256(payload or b"").digest()
     rng = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)

@@ -2046,11 +2046,11 @@ SQL_SEARCH_HIGHLIGHTS_SLOP1 = _search_highlights_sql(1)
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column pipeline as a checked query (rows-only:
     image decode is not SQL-expressible): deterministic payloads derived
-    per doc_id — BMP (ids ≡ 0 mod 4), PNG (≡ 1), GIF (≡ 2, ≤256-color
-    quantized), baseline JPEG (≡ 3) — decoded for REAL by the stdlib
-    codecs inside the ``mapInPandas`` feature pipeline (multimodal.py),
-    exercising a mixed-format media column the way a real crawl store
-    carries one."""
+    per doc_id — BMP (ids ≡ 0 mod 5), PNG (≡ 1), GIF (≡ 2, ≤256-color
+    quantized), baseline JPEG (≡ 3), lossless WebP (≡ 4) — decoded for
+    REAL by the stdlib codecs inside the ``mapInPandas`` feature
+    pipeline (multimodal.py), exercising a mixed-format media column the
+    way a real crawl store carries one."""
     import hashlib as _hl
 
     from owlfrontier.multimodal import (
@@ -2058,6 +2058,7 @@ def q_multimodal_features(spark, sf_dir):
         encode_gif,
         encode_jpeg,
         encode_png,
+        encode_webp_lossless,
         image_feature_pipeline,
     )
 
@@ -2076,7 +2077,7 @@ def q_multimodal_features(spark, sf_dir):
                 img = np.frombuffer(
                     (digest * 6)[: 8 * 8 * 3], dtype=np.uint8
                 ).reshape(8, 8, 3)
-                m = int(mid) % 4
+                m = int(mid) % 5
                 if m == 0:
                     payloads.append(encode_bmp(img))
                 elif m == 1:
@@ -2084,8 +2085,10 @@ def q_multimodal_features(spark, sf_dir):
                 elif m == 2:
                     # GIF needs ≤256 colors: quantize to the high 3 bits
                     payloads.append(encode_gif([(img >> 5) << 5]))
-                else:
+                elif m == 3:
                     payloads.append(encode_jpeg(img))
+                else:
+                    payloads.append(encode_webp_lossless(img))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )

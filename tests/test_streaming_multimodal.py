@@ -647,3 +647,293 @@ def test_frame_sample_pipeline_real_gif_frames(spark):
     assert set(rows) == {0, 2, 4}
     for idx, sha in rows.items():
         assert sha == _hl.sha256(local[idx].tobytes()).hexdigest()
+
+
+# --- WebP lossless (VP8L) ----------------------------------------------------
+
+
+def _wrap_vp8l(stream: bytes) -> bytes:
+    """RIFF/WEBP container around a raw VP8L stream (test framing)."""
+    import struct
+
+    chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
+    if len(stream) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_webp_roundtrip_real():
+    """encode→decode round-trips: plain literals, subtract-green, and
+    palette (color-indexing) at every pixel-bundling level."""
+    import numpy as np
+
+    from owlfrontier.multimodal import (
+        decode_image,
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (2, 3), (8, 8), (5, 7), (16, 9)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        for kw in ({}, {"subtract_green": True}):
+            out = decode_webp(encode_webp_lossless(img, **kw))
+            assert np.array_equal(out, img), (shape, kw)
+    for ncol in (2, 4, 13, 250):  # 8/4/2/1 pixels per bundle
+        cols = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = cols[rng.integers(0, ncol, (9, 11))]
+        out = decode_webp(encode_webp_lossless(img, palette=True))
+        assert np.array_equal(out, img), ncol
+    # decode_image dispatches on the RIFF/WEBP magic
+    img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_webp_lossless(img)), img)
+
+
+def test_webp_hand_assembled_simple_codes():
+    """A 2x1 VP8L stream assembled bit by bit from the spec (simple
+    2-symbol green code, single-symbol channel codes) — decoder
+    correctness independent of this module's encoder."""
+    import numpy as np
+
+    from owlfrontier.multimodal import _Vp8lWriter, decode_webp
+
+    bw = _Vp8lWriter()
+    bw.write(1, 14)   # width-1
+    bw.write(0, 14)   # height-1
+    bw.write(0, 1)    # alpha hint
+    bw.write(0, 3)    # version
+    bw.write(0, 1)    # no transforms
+    bw.write(0, 1)    # no color cache
+    bw.write(0, 1)    # no meta prefix codes
+    # green: simple, two symbols (40, 90) — code 0 -> 40, code 1 -> 90
+    bw.write(1, 1)
+    bw.write(1, 1)    # two symbols
+    bw.write(1, 1)    # 8-bit first symbol
+    bw.write(40, 8)
+    bw.write(90, 8)
+    # red / blue: single-symbol codes (zero-bit reads)
+    for sym in (7, 3):
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(sym, 8)
+    # alpha 255, distance 0
+    bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(255, 8)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    bw.write_code(0, 1)  # pixel 0: green 40
+    bw.write_code(1, 1)  # pixel 1: green 90
+    out = decode_webp(_wrap_vp8l(b"\x2f" + bw.flush()))
+    assert np.array_equal(
+        out, np.array([[[7, 40, 3], [7, 90, 3]]], dtype=np.uint8)
+    )
+
+
+def _w_clc(bw, lengths_by_sym: dict, num_clc: int):
+    """Write the code-length-code header fields (3 bits each, spec
+    order)."""
+    order = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+    bw.write(num_clc - 4, 4)
+    for s in order[:num_clc]:
+        bw.write(lengths_by_sym.get(s, 0), 3)
+
+
+def test_webp_hand_assembled_lz77_distance_map():
+    """2x2 stream: two literals then an LZ77 backward reference with
+    dist_code 1, which the 2D short-distance map must resolve to
+    (x=0, y=1) = one full row — pinning the map's head independently of
+    the encoder (a wrong (1,0) mapping would duplicate the second pixel
+    instead of copying the row)."""
+    import numpy as np
+
+    from owlfrontier.multimodal import _Vp8lWriter, decode_webp
+
+    bw = _Vp8lWriter()
+    bw.write(1, 14); bw.write(1, 14); bw.write(0, 1); bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    # green code (alphabet 280): lengths {5:1, 9:2, 257:2} via the
+    # code-length code {1:len2, 2:len2, 17:len2, 18:len2}
+    bw.write(0, 1)  # normal code
+    _w_clc(bw, {1: 2, 2: 2, 17: 2, 18: 2}, num_clc=5)
+    bw.write(0, 1)  # no max_symbol
+    # canonical clc: 1->00, 2->01, 17->10, 18->11
+    bw.write_code(2, 2); bw.write(2, 3)    # 17: run of 3+2=5 zeros (idx 0-4)
+    bw.write_code(0, 2)                    # '1' at idx 5
+    bw.write_code(2, 2); bw.write(0, 3)    # 17: 3 zeros (idx 6-8)
+    bw.write_code(1, 2)                    # '2' at idx 9
+    bw.write_code(3, 2); bw.write(127, 7)  # 18: 138 zeros (idx 10-147)
+    bw.write_code(3, 2); bw.write(98, 7)   # 18: 109 zeros (idx 148-256)
+    bw.write_code(1, 2)                    # '2' at idx 257
+    bw.write_code(3, 2); bw.write(11, 7)   # 18: 22 zeros (idx 258-279)
+    # red 0 / blue 0 / alpha 255 / distance 0: single-symbol codes
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(255, 8)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    # pixels: green canonical codes — 5 -> '0', 9 -> '10', 257 -> '11'
+    bw.write_code(0, 1)   # literal green 5
+    bw.write_code(2, 2)   # literal green 9
+    bw.write_code(3, 2)   # sym 257: length prefix 1 -> length 2
+    # distance symbol is the zero-bit single code -> dist_code 1
+    out = decode_webp(_wrap_vp8l(b"\x2f" + bw.flush()))
+    assert out[:, :, 1].tolist() == [[5, 9], [5, 9]]  # row copied, not px
+
+
+def test_webp_hand_assembled_color_cache():
+    """1x4 stream with a 2-entry color cache: two literals land in
+    different cache slots (precomputed from the spec hash), then two
+    cache-hit symbols re-emit them."""
+    import numpy as np
+
+    from owlfrontier.multimodal import _Vp8lWriter, decode_webp
+
+    a_px = (255 << 24) | (10 << 16)   # slot 1
+    b_px = (255 << 24) | (200 << 16)  # slot 0
+    for px, slot in ((a_px, 1), (b_px, 0)):
+        assert ((0x1E35A7BD * px) & 0xFFFFFFFF) >> 31 == slot
+
+    bw = _Vp8lWriter()
+    bw.write(3, 14); bw.write(0, 14); bw.write(0, 1); bw.write(0, 3)
+    bw.write(0, 1)   # no transforms
+    bw.write(1, 1)   # color cache present
+    bw.write(1, 4)   # cache_bits = 1 (2 entries)
+    bw.write(0, 1)   # no meta
+    # green code (alphabet 282): lengths {0:1, 280:2, 281:2}
+    bw.write(0, 1)
+    _w_clc(bw, {1: 2, 2: 2, 17: 2, 18: 2}, num_clc=5)
+    bw.write(0, 1)  # no max_symbol
+    bw.write_code(0, 2)                    # '1' at idx 0
+    bw.write_code(3, 2); bw.write(127, 7)  # 18: 138 zeros (idx 1-138)
+    bw.write_code(3, 2); bw.write(127, 7)  # 18: 138 zeros (idx 139-276)
+    bw.write_code(2, 2); bw.write(0, 3)    # 17: 3 zeros (idx 277-279)
+    bw.write_code(1, 2)                    # '2' at idx 280
+    bw.write_code(1, 2)                    # '2' at idx 281
+    # red: simple two symbols (10, 200); blue 0; alpha 255; distance 0
+    bw.write(1, 1); bw.write(1, 1); bw.write(1, 1)
+    bw.write(10, 8); bw.write(200, 8)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(255, 8)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    # pixels: lit(g0,r10), lit(g0,r200), cache sym 281 (A), cache 280 (B)
+    bw.write_code(0, 1); bw.write_code(0, 1)  # green 0, red 10
+    bw.write_code(0, 1); bw.write_code(1, 1)  # green 0, red 200
+    bw.write_code(3, 2)                       # sym 281 -> slot 1 -> A
+    bw.write_code(2, 2)                       # sym 280 -> slot 0 -> B
+    out = decode_webp(_wrap_vp8l(b"\x2f" + bw.flush()))
+    assert out[0, :, 0].tolist() == [10, 200, 10, 200]
+
+
+def test_webp_hand_assembled_predictor_transform():
+    """3x2 stream behind a PREDICTOR transform with mode 4 (top-left):
+    constant residuals reconstruct a hand-computed gradient that
+    discriminates TL from the left/top modes."""
+    from owlfrontier.multimodal import _Vp8lWriter, decode_webp
+
+    bw = _Vp8lWriter()
+    bw.write(2, 14); bw.write(1, 14); bw.write(0, 1); bw.write(0, 3)
+    bw.write(1, 1)   # transform present
+    bw.write(0, 2)   # PREDICTOR
+    bw.write(0, 3)   # size_bits = 2 -> one 4x4 block covers 3x2
+    # block sub-image (1x1): green=4 (mode TL), others zero-bit codes
+    bw.write(0, 1)   # no cache (sub-image)
+    bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(4, 8)  # green
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # red
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # blue
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # alpha
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # dist
+    bw.write(0, 1)   # end of transforms
+    # main image: every residual = (a=0, r=0, g=1, b=0), zero pixel bits
+    bw.write(0, 1)   # no cache
+    bw.write(0, 1)   # no meta
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(1, 1)  # green=1
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # red
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # blue
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # alpha
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # dist
+    out = decode_webp(_wrap_vp8l(b"\x2f" + bw.flush()))
+    # (0,0): black+res -> g1; row 0 chains left -> 2, 3
+    # (0,1): x==0 -> top -> 2; (1,1): TL=g1 -> 2; (2,1): TL=g2 -> 3
+    assert out[:, :, 1].tolist() == [[1, 2, 3], [2, 2, 3]]
+    # mode TOP would give row 1 = [2, 3, 4] — the TL result differs
+
+
+def test_webp_hand_assembled_color_transform():
+    """1x1 streams behind a COLOR transform: green_to_red deltas with
+    positive and negative (int8) multipliers, per the spec arithmetic
+    red += (g2r * green) >> 5."""
+    from owlfrontier.multimodal import _Vp8lWriter, decode_webp
+
+    for g2r, expect_r in ((16, (10 + 32) & 255), (240, (10 - 32) & 255)):
+        bw = _Vp8lWriter()
+        bw.write(0, 14); bw.write(0, 14); bw.write(0, 1); bw.write(0, 3)
+        bw.write(1, 1)   # transform present
+        bw.write(1, 2)   # COLOR
+        bw.write(0, 3)   # size_bits = 2
+        # cte sub-image 1x1: blue channel = g2r, green=g2b=0, red=r2b=0
+        bw.write(0, 1)
+        bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # g
+        bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # r
+        bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(g2r, 8)  # b
+        bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # a
+        bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # d
+        bw.write(0, 1)   # end of transforms
+        # main 1x1: (a=255, r=10, g=64, b=5), all via single-symbol codes
+        bw.write(0, 1); bw.write(0, 1)
+        bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(64, 8)
+        bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(10, 8)
+        bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(5, 8)
+        bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(255, 8)
+        bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+        out = decode_webp(_wrap_vp8l(b"\x2f" + bw.flush()))
+        assert out[0, 0].tolist() == [expect_r, 64, 5], g2r
+
+
+def test_webp_unsupported_and_corrupt_raise():
+    import struct
+
+    import pytest
+
+    from owlfrontier.multimodal import decode_image, decode_webp
+
+    lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_webp(lossy)
+    # fake=True substitutes the stand-in for the lossy file
+    assert decode_image(lossy, fake=True).shape == (8, 8, 3)
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00WAVEnope")
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+                    + b"VP8L" + struct.pack("<I", 2) + b"\x00\x00")
+
+
+def test_image_pipeline_real_webp_through_spark(spark):
+    """fake=False feature extraction over lossless WebP payloads through
+    mapInPandas — sha256 of the real decoded pixels."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from owlfrontier.multimodal import (
+        decode_webp,
+        encode_webp_lossless,
+        image_feature_pipeline,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+            for i in range(3)}
+    rows = [(i, bytearray(encode_webp_lossless(img, subtract_green=i % 2 == 1)))
+            for i, img in imgs.items()]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {
+        r["media_id"]: r
+        for r in image_feature_pipeline(df, thumb=(2, 2), fake=False).collect()
+    }
+    assert len(got) == 3
+    for i, img in imgs.items():
+        payload = bytes(rows[i][1])
+        assert got[i]["sha256"] == _hl.sha256(payload).hexdigest()
+        assert np.array_equal(decode_webp(payload), img)
