@@ -9,8 +9,10 @@ deterministic content fingerprints.
 
 Codecs: uncompressed BMP (24/32-bit BI_RGB), PNG (8-bit gray/RGB/RGBA/
 palette, all five scanline filters, non-interlaced), GIF (LZW, animation,
-interlace, transparency, disposal), baseline JPEG (generic DHT Huffman,
-DC/AC entropy decode, dequant+IDCT, 4:2:0 upsampling, restart markers),
+interlace, transparency, disposal), baseline AND progressive JPEG
+(generic DHT Huffman, multi-scan coefficient accumulation — spectral
+selection, DC/AC successive approximation, EOB runs — dequant+IDCT,
+4:2:0 upsampling, restart markers),
 lossless WebP (VP8L: prefix codes, color cache, meta groups, LZ77 over
 the 2D distance map, all four transforms) and PCM WAV decode for REAL
 using only the stdlib (zlib/struct/wave) + numpy — genuine byte→array
@@ -584,9 +586,11 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _jpeg_segments(payload: bytes, pos: int) -> list[bytes]:
-    """Split the post-SOS entropy stream at RSTn markers, unstuffing
-    0xFF00; stops at the first real marker (EOI/next segment)."""
+def _jpeg_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy stream at RSTn markers, unstuffing
+    0xFF00; stops at the first real marker (EOI/DHT/SOS/...) and also
+    returns its position so multi-scan (progressive) parsing can
+    continue."""
     segs: list[bytes] = []
     cur = bytearray()
     n = len(payload)
@@ -607,28 +611,106 @@ def _jpeg_segments(payload: bytes, pos: int) -> list[bytes]:
         else:  # real marker (EOI, ...) — scan over
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, pos
+
+
+def _jpeg_ac_first(reader, zz, ta_table, ss, se, al, eob_run):
+    """AC coefficients, first pass (Ah=0) — also the baseline AC path
+    (where Ss..Se is 1..63, Al=0 and only EOB0/ZRL occur). Returns the
+    updated EOB run (T.81 G.1.2.2: EOBn spans (1<<r)+bits(r) blocks
+    including the current one)."""
+    if eob_run > 0:
+        return eob_run - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(ta_table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << r) + reader.bits(r) - 1  # EOBn
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC overrun")
+        zz[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(reader, zz, ta_table, ss, se, al, eob_run):
+    """AC successive-approximation refinement (T.81 G.1.2.3): newly
+    visible coefficients arrive as ±(1<<Al); every already-nonzero
+    coefficient in the traversed range receives one correction bit."""
+    p1 = 1 << al
+
+    def correct(k):
+        if reader.bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else -p1
+
+    k = ss
+    if eob_run == 0:
+        while k <= se:
+            rs = reader.huff(ta_table)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eob_run = (1 << r) + reader.bits(r)
+                    break
+                # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: bad refinement size")
+                newval = p1 if reader.bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eob_run > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eob_run -= 1
+    return eob_run
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """REAL stdlib+numpy baseline JPEG decode to HxWx3 uint8 RGB
-    (grayscale replicates to 3 channels)."""
+    """REAL stdlib+numpy JPEG decode to HxWx3 uint8 RGB (grayscale
+    replicates to 3 channels). Baseline/extended sequential (SOF0/1) and
+    PROGRESSIVE (SOF2) per T.81: multi-scan coefficient accumulation —
+    spectral selection, DC and AC successive approximation (G.1.2),
+    EOB runs, restart markers per scan."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    comps = None  # list of dicts: id, h, v, tq
+    comps = None  # list of dicts: id, h, v, tq, bw/bh (full block dims)
     width = height = None
     restart = 0
-    scan = None
-    while pos + 4 <= len(payload):
+    coeffs: dict[int, np.ndarray] = {}  # id -> (bh, bw, 64) zigzag coeffs
+    by_id: dict[int, dict] = {}
+    mcux = mcuy = 0
+    saw_scan = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -645,7 +727,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     ).astype(np.int32)
                     o += 128
                 qt[tq] = tbl
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             _prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
             comps = []
             for i in range(nc):
@@ -653,10 +735,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            max_h = max(c["h"] for c in comps)
+            max_v = max(c["v"] for c in comps)
+            mcux = (width + 8 * max_h - 1) // (8 * max_h)
+            mcuy = (height + 8 * max_v - 1) // (8 * max_v)
+            for c in comps:
+                # full (interleaved) block dims and the non-interleaved
+                # dims a single-component scan covers (T.81 A.2.2)
+                c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]
+                cw = -(-width * c["h"] // max_h)
+                ch = -(-height * c["v"] // max_v)
+                c["nx"], c["ny"] = -(-cw // 8), -(-ch // 8)
+                coeffs[c["id"]] = np.zeros((c["bh"], c["bw"], 64), np.int32)
+            by_id = {c["id"]: c for c in comps}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"only baseline sequential JPEG (SOF marker 0xff{marker:02x})"
+                "only baseline/extended-sequential and progressive JPEG "
+                f"(SOF marker 0xff{marker:02x})"
             )
         elif marker == 0xC4:  # DHT
             o = 0
@@ -671,73 +767,100 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 o += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan, keep parsing
+            if comps is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tables >> 4, tables & 15))
-            pos = pos + 2 + seglen
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            segs, pos = _jpeg_segments(payload, pos + 2 + seglen)
+            saw_scan = True
+
+            if ns == 1:  # non-interleaved: one block per unit
+                cs, td, ta = scan[0]
+                c = by_id[cs]
+                units = [
+                    [(cs, td, ta, by, bx)]
+                    for by in range(c["ny"]) for bx in range(c["nx"])
+                ]
+            else:  # interleaved MCUs
+                units = []
+                for mcu in range(mcux * mcuy):
+                    my, mx = divmod(mcu, mcux)
+                    unit = []
+                    for cs, td, ta in scan:
+                        c = by_id[cs]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                unit.append((
+                                    cs, td, ta,
+                                    my * c["v"] + by, mx * c["h"] + bx,
+                                ))
+                    units.append(unit)
+
+            reader = _JpegBits(segs[0])
+            seg_i = 0
+            pred = {c["id"]: 0 for c in comps}
+            eob_run = 0
+            for u_i, unit in enumerate(units):
+                if restart and u_i and u_i % restart == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise ValueError(
+                            "corrupt JPEG: missing restart segment"
+                        )
+                    reader = _JpegBits(segs[seg_i])
+                    pred = {c["id"]: 0 for c in comps}
+                    eob_run = 0
+                for cs, td, ta, by, bx in unit:
+                    zz = coeffs[cs][by, bx]
+                    if ss == 0:
+                        if ah == 0:  # DC first (or baseline full block)
+                            s = reader.huff(huff_dc[td])
+                            diff = _extend(reader.bits(s), s) if s else 0
+                            pred[cs] += diff
+                            zz[0] = pred[cs] << al
+                        elif reader.bit():  # DC refinement: one bit
+                            zz[0] |= 1 << al
+                    if se >= max(ss, 1):
+                        k0 = max(ss, 1)
+                        if ah == 0:
+                            eob_run = _jpeg_ac_first(
+                                reader, zz, huff_ac[ta], k0, se, al,
+                                eob_run,
+                            )
+                        else:
+                            eob_run = _jpeg_ac_refine(
+                                reader, zz, huff_ac[ta], k0, se, al,
+                                eob_run,
+                            )
+            continue  # pos already past this scan's entropy data
         pos += 2 + seglen
-    if comps is None or scan is None or width is None:
+    if comps is None or not saw_scan or width is None:
         raise ValueError("corrupt JPEG: missing SOF/SOS")
+
+    planes = {}
+    for c in comps:
+        q = qt[c["tq"]]
+        p = np.zeros((c["bh"] * 8, c["bw"] * 8), np.float64)
+        arr = coeffs[c["id"]]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                zz = arr[by, bx]
+                block = np.zeros(64, np.float64)
+                block[_ZIGZAG] = zz * q
+                p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _DCT_T.T @ block.reshape(8, 8) @ _DCT_T
+                ) + 128.0
+        planes[c["id"]] = p
 
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)
-    mcux = (width + 8 * max_h - 1) // (8 * max_h)
-    mcuy = (height + 8 * max_v - 1) // (8 * max_v)
-    planes = {
-        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), np.float64)
-        for c in comps
-    }
-    by_id = {c["id"]: c for c in comps}
-    segs = _jpeg_segments(payload, pos)
-    reader = _JpegBits(segs[0])
-    seg_i = 0
-    pred = {c["id"]: 0 for c in comps}
-    n_mcus = mcux * mcuy
-    for mcu in range(n_mcus):
-        if restart and mcu and mcu % restart == 0:
-            seg_i += 1
-            if seg_i >= len(segs):
-                raise ValueError("corrupt JPEG: missing restart segment")
-            reader = _JpegBits(segs[seg_i])
-            pred = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu, mcux)
-        for cs, td, ta in scan:
-            c = by_id[cs]
-            q = qt[c["tq"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = np.zeros(64, np.int32)
-                    s = reader.huff(huff_dc[td])
-                    diff = _extend(reader.bits(s), s) if s else 0
-                    pred[cs] += diff
-                    zz[0] = pred[cs]
-                    k = 1
-                    while k < 64:
-                        rs = reader.huff(huff_ac[ta])
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("corrupt JPEG: AC overrun")
-                        zz[k] = _extend(reader.bits(s), s)
-                        k += 1
-                    block = np.zeros(64, np.float64)
-                    block[_ZIGZAG] = zz * q
-                    spatial = (
-                        _DCT_T.T @ block.reshape(8, 8) @ _DCT_T
-                    ) + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[cs][y0:y0 + 8, x0:x0 + 8] = spatial
-
     full = []
     for c in comps:
         p = planes[c["id"]]
@@ -937,6 +1060,161 @@ def encode_jpeg(img: np.ndarray, lq: int = 1, cq: int = 1,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(img: np.ndarray, lq: int = 1, cq: int = 1,
+                            dc_al: int = 1) -> bytes:
+    """PROGRESSIVE (SOF2) encoder for round-trip tests: DC successive
+    approximation (first scan at Al=``dc_al``, then one refinement bit
+    per block per level) + spectral-selection AC scans (bands 1-5 and
+    6-63 per component, non-interleaved, with real EOBn runs across
+    blocks). 4:4:4 / grayscale only — progressive AC scans are
+    non-interleaved, and 4:4:4 keeps the per-component block grid equal
+    to the MCU grid the decoder derives. Same DCT/quant/tables as
+    :func:`encode_jpeg`."""
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape[:2]
+    gray = img.ndim == 2 or img.shape[2] == 1
+    if gray:
+        planes = [img.reshape(h, w).astype(np.float64)]
+        qids = [0]
+    else:
+        rgb = img[:, :, :3].astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qids = [0, 1, 1]
+    bx_n, by_n = (w + 7) // 8, (h + 7) // 8
+    qtabs = [np.full(64, max(1, lq), np.int32),
+             np.full(64, max(1, cq), np.int32)]
+
+    # quantized zigzag coefficients per component, full block grid
+    zz_all = []
+    for p, qi in zip(planes, qids):
+        p = np.pad(p, ((0, by_n * 8 - h), (0, bx_n * 8 - w)), mode="edge")
+        q = qtabs[qi]
+        arr = np.zeros((by_n, bx_n, 64), np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coeff = _DCT_T @ block @ _DCT_T.T
+                arr[by, bx] = np.round(coeff.reshape(64)[_ZIGZAG] / q)
+        zz_all.append(arr)
+
+    dc_bits, dc_vals = _fixed_huff_spec(12)
+    ac_bits, ac_vals = _fixed_huff_spec(256)
+    enc_dc = {
+        sym: (length, code)
+        for (length, code), sym in _huff_canonical(dc_bits, dc_vals).items()
+    }
+    enc_ac = {
+        sym: (length, code)
+        for (length, code), sym in _huff_canonical(ac_bits, ac_vals).items()
+    }
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(qtabs[0].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qtabs[1].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i in range(len(planes)):
+        sof += bytes([i + 1, 0x11, qids[i]])  # 1x1 sampling (4:4:4)
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+
+    # scan 1: interleaved DC first at Al=dc_al (floor-shifted diffs)
+    wtr = _JpegBitWriter()
+    pred = [0] * len(planes)
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci, arr in enumerate(zz_all):
+                v = int(arr[by, bx, 0]) >> dc_al
+                diff = v - pred[ci]
+                pred[ci] = v
+                s = int(abs(diff)).bit_length()
+                ln, code = enc_dc[s]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += sos_header(list(range(1, len(planes) + 1)), 0, 0, 0, dc_al)
+    out += wtr.flush()
+
+    # DC refinement scans: one raw bit per block per level
+    for al in range(dc_al - 1, -1, -1):
+        wtr = _JpegBitWriter()
+        for by in range(by_n):
+            for bx in range(bx_n):
+                for arr in zz_all:
+                    wtr.write((int(arr[by, bx, 0]) >> al) & 1, 1)
+        out += sos_header(list(range(1, len(planes) + 1)), 0, 0, al + 1, al)
+        out += wtr.flush()
+
+    # AC spectral-selection scans per component, with EOBn runs
+    for ci, arr in enumerate(zz_all):
+        for ss, se in ((1, 5), (6, 63)):
+            wtr = _JpegBitWriter()
+            eob_run = 0
+
+            def emit_eob_run(wtr, n):
+                while n > 0:
+                    r = min(14, n.bit_length() - 1)
+                    chunk = min(n, (1 << (r + 1)) - 1)
+                    ln, code = enc_ac[r << 4]
+                    wtr.write(code, ln)
+                    wtr.write(chunk - (1 << r), r)
+                    n -= chunk
+                return 0
+
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    zz = arr[by, bx]
+                    ks = [k for k in range(ss, se + 1) if zz[k] != 0]
+                    if not ks:
+                        eob_run += 1
+                        if eob_run == 32767:
+                            eob_run = emit_eob_run(wtr, eob_run)
+                        continue
+                    eob_run = emit_eob_run(wtr, eob_run)
+                    k = ss
+                    run = 0
+                    while k <= se:
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            k += 1
+                            continue
+                        while run > 15:
+                            ln, code = enc_ac[0xF0]  # ZRL
+                            wtr.write(code, ln)
+                            run -= 16
+                        s = int(abs(v)).bit_length()
+                        ln, code = enc_ac[(run << 4) | s]
+                        wtr.write(code, ln)
+                        wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                        k += 1
+                    if run:  # trailing zeros: start an EOB run
+                        eob_run = 1
+            emit_eob_run(wtr, eob_run)
+            out += sos_header([ci + 1], ss, se, 0, 0)
+            out += wtr.flush()
+
     out += b"\xff\xd9"
     return bytes(out)
 

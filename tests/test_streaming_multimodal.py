@@ -590,11 +590,17 @@ def test_jpeg_corrupt_and_unsupported_raise():
         decode_jpeg(b"\xff\xd8\xff")  # truncated: no SOF/SOS
     with _pytest.raises((ValueError, struct.error)):
         decode_jpeg(good[:40])
-    # progressive (SOF2) is explicitly rejected, not mis-decoded
+    # a SOF2-labeled stream with a full-spectral scan decodes the same
+    # as baseline (the multi-scan decoder treats baseline as the
+    # 1-scan special case)
     prog = bytearray(good)
     prog[good.index(b"\xff\xc0") + 1] = 0xC2
-    with _pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(bytes(prog))
+    assert np.array_equal(decode_jpeg(bytes(prog)), decode_jpeg(good))
+    # genuinely unsupported coding (arithmetic, SOF10) still raises
+    arith = bytearray(good)
+    arith[good.index(b"\xff\xc0") + 1] = 0xCA
+    with _pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(arith))
 
 
 def test_image_pipeline_real_jpeg_through_spark(spark):
@@ -937,3 +943,107 @@ def test_image_pipeline_real_webp_through_spark(spark):
         payload = bytes(rows[i][1])
         assert got[i]["sha256"] == _hl.sha256(payload).hexdigest()
         assert np.array_equal(decode_webp(payload), img)
+
+
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    """Progressive (SOF2) encode→decode reconstructs EXACTLY the same
+    pixels as the baseline encoding of the same image (same quant
+    tables, full coefficient transmission, different scan organization):
+    DC successive approximation + refinement scans, per-component AC
+    spectral-selection bands with real EOBn runs."""
+    import numpy as np
+
+    from owlfrontier.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    for shape in [(8, 8), (16, 24), (11, 13)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsample="444"))
+        prog = decode_jpeg(encode_jpeg_progressive(img))
+        assert np.array_equal(base, prog), shape
+    g = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g)),
+        decode_jpeg(encode_jpeg_progressive(g, dc_al=2)),  # 2 refine scans
+    )
+
+
+def test_jpeg_progressive_ac_refinement_hand_assembled():
+    """AC successive-approximation refinement (T.81 G.1.2.3) pinned by a
+    hand-assembled 3-scan stream for one 8x8 grayscale block — the scan
+    type the progressive encoder does not emit. Scan 2 sends AC at Al=1
+    (zz[1]=2, zz[3]=-2); scan 3 refines at Al=0: correction bit 1 for
+    zz[1] (2→3), 0 for zz[3] (stays -2), and a newly visible +1 at k=5
+    behind r=2 zero-history positions, then EOB0."""
+    import struct
+
+    import numpy as np
+
+    from owlfrontier.multimodal import (
+        _DCT_T,
+        _ZIGZAG,
+        _JpegBitWriter,
+        _fixed_huff_spec,
+        _huff_canonical,
+        decode_jpeg,
+    )
+
+    dc_bits, dc_vals = _fixed_huff_spec(12)
+    ac_bits, ac_vals = _fixed_huff_spec(256)
+    enc_dc = {s: lc for lc, s in _huff_canonical(dc_bits, dc_vals).items()}
+    enc_ac = {s: lc for lc, s in _huff_canonical(ac_bits, ac_vals).items()}
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # quant all-1
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+
+    # scan 1: DC first (Al=0): diff = 6 (size 3, bits 110)
+    w = _JpegBitWriter()
+    ln, code = enc_dc[3]
+    w.write(code, ln)
+    w.write(6, 3)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + w.flush()
+
+    # scan 2: AC first Ss=1 Se=63 Al=1: (0,1)+1 -> zz[1]=2; (1,1)-1 ->
+    # zz[3]=-2; EOB
+    w = _JpegBitWriter()
+    for sym, v, s in ((0x01, 1, 1), (0x11, -1, 1)):
+        ln, code = enc_ac[sym]
+        w.write(code, ln)
+        w.write(v if v > 0 else v + (1 << s) - 1, s)
+    ln, code = enc_ac[0x00]
+    w.write(code, ln)
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + w.flush()
+
+    # scan 3: AC refine Ah=1 Al=0: symbol (r=2, s=1), sign=+, then the
+    # traversal's correction bits 1 (zz[1]) and 0 (zz[3]), then EOB0
+    w = _JpegBitWriter()
+    ln, code = enc_ac[0x21]
+    w.write(code, ln)
+    w.write(1, 1)  # sign: +1
+    w.write(1, 1)  # correction for zz[1]: 2 -> 3
+    w.write(0, 1)  # correction for zz[3]: stays -2
+    ln, code = enc_ac[0x00]
+    w.write(code, ln)
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + w.flush()
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    zz = np.zeros(64, np.float64)
+    zz[0], zz[1], zz[3], zz[5] = 6, 3, -2, 1
+    block = np.zeros(64, np.float64)
+    block[_ZIGZAG] = zz
+    expect = np.clip(
+        np.round((_DCT_T.T @ block.reshape(8, 8) @ _DCT_T) + 128.0), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(got[:, :, 0], expect)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
