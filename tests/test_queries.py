@@ -127,3 +127,25 @@ def test_ivf_training_reduces_quantization_error(spark):
     # quantization than the prefix init and trains to a different codebook
     assert f0 < o0
     assert ff3_cents != codebook(Q.q_ann_ivf_train, 3)
+
+
+def test_emb_dim_uniform_ok_and_mixed_raises(spark):
+    """_emb_dim asserts a uniform embedding dimension instead of silently
+    filtering (ADVICE r4: a silent size filter diverged from the DuckDB
+    oracles, which apply none — mixed-dim corpora must fail loudly on
+    both paths)."""
+    from owlfrontier.queries import _emb_dim
+
+    uniform = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, [0.4, 0.5, 0.6])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert _emb_dim(uniform) == 3
+    mixed = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, [0.4, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="mixed embedding dims"):
+        _emb_dim(mixed)
+    empty = uniform.where("vec_id < 0")
+    assert _emb_dim(empty) == 0

@@ -1047,3 +1047,61 @@ def test_jpeg_progressive_ac_refinement_hand_assembled():
     ).astype(np.uint8)
     assert np.array_equal(got[:, :, 0], expect)
     assert np.array_equal(got[:, :, 0], got[:, :, 1])
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker; real-world progressive files pad between scans (ADVICE r4).
+    Fill runs inserted between header segments must not change the
+    decode."""
+    import numpy as np
+
+    from owlfrontier.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    good = encode_jpeg(img)
+    base = decode_jpeg(good)
+    # pad before SOS and before the first DQT (both outside entropy data)
+    padded = bytearray(good)
+    padded[padded.index(b"\xff\xda"):padded.index(b"\xff\xda")] = b"\xff" * 3
+    padded[padded.index(b"\xff\xdb"):padded.index(b"\xff\xdb")] = b"\xff" * 5
+    assert np.array_equal(decode_jpeg(bytes(padded)), base)
+    # a trailing lone 0xFF (fill with nothing after) must not crash
+    assert np.array_equal(decode_jpeg(good[:-2] + b"\xff\xff\xd9"), base)
+
+
+def test_webp_lz77_backward_reference_before_start_raises():
+    """Corrupt VP8L whose FIRST pixel symbol is an LZ77 backward
+    reference (dist > pos=0) must raise, not negative-index into the
+    output buffer (ADVICE r4). Same hand-assembled recipe as the
+    distance-map test, with the literal pixels removed."""
+    import pytest as _pytest
+
+    from owlfrontier.multimodal import _Vp8lWriter, decode_webp
+
+    bw = _Vp8lWriter()
+    bw.write(1, 14); bw.write(1, 14); bw.write(0, 1); bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    bw.write(0, 1)  # normal code
+    _w_clc(bw, {1: 2, 2: 2, 17: 2, 18: 2}, num_clc=5)
+    bw.write(0, 1)  # no max_symbol
+    bw.write_code(2, 2); bw.write(2, 3)    # 17: run of 5 zeros (idx 0-4)
+    bw.write_code(0, 2)                    # '1' at idx 5
+    bw.write_code(2, 2); bw.write(0, 3)    # 17: 3 zeros (idx 6-8)
+    bw.write_code(1, 2)                    # '2' at idx 9
+    bw.write_code(3, 2); bw.write(127, 7)  # 18: 138 zeros (idx 10-147)
+    bw.write_code(3, 2); bw.write(98, 7)   # 18: 109 zeros (idx 148-256)
+    bw.write_code(1, 2)                    # '2' at idx 257
+    bw.write_code(3, 2); bw.write(11, 7)   # 18: 22 zeros (idx 258-279)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(255, 8)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    # FIRST pixel symbol: 257 (backward ref, length 2, dist_code 1 ->
+    # dist = w = 2 > pos = 0)
+    bw.write_code(3, 2)
+    with _pytest.raises(ValueError, match="before start"):
+        decode_webp(_wrap_vp8l(b"\x2f" + bw.flush()))
