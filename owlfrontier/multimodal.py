@@ -14,14 +14,27 @@ interlace, transparency, disposal), baseline AND progressive JPEG
 selection, DC/AC successive approximation, EOB runs — dequant+IDCT,
 4:2:0 upsampling, restart markers),
 lossless WebP (VP8L: prefix codes, color cache, meta groups, LZ77 over
-the 2D distance map, all four transforms) and PCM WAV decode for REAL
-using only the stdlib (zlib/struct/wave) + numpy — genuine byte→array
-paths per modality, pytest-covered. Remaining compressed formats (lossy
-WebP/MP3/...) stay STUBBED: those codec libraries are not in this
-container, so for them ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic content-derived fake (stable across runs, good enough to
-exercise every downstream operator).
+the 2D distance map, all four transforms), baseline TIFF (both byte
+orders, strips, none/LZW-early-change/PackBits/Deflate, predictor,
+gray/RGB/palette/bilevel), PCM WAV and FLAC (RFC 9639: every subframe
+type incl. LPC, Rice partitions with escapes, wasted bits, all stereo
+decorrelation modes, CRC-8/16) decode for REAL using only the stdlib
+(zlib/struct/wave) + numpy — genuine byte→array paths per modality,
+pytest-covered.
+
+The scope boundary is principled, not arbitrary: every format above
+carries its entropy parameters IN-STREAM (Huffman code lengths, LZ
+dictionaries, Rice parameters, LPC coefficients) or derives them
+algorithmically, so a spec-faithful codec is buildable offline. Lossy
+WebP (VP8) and MP3 sit on the other side — their arithmetic/Huffman
+coders require thousands of EMPIRICAL constants that exist only as
+tables in the spec documents (RFC 6386 §13.4-13.5; ISO/IEC 11172-3
+Annex B), unobtainable in this offline container and unusable if
+guessed (one wrong probability desynchronizes the whole arithmetic
+decode). Those raise ``NotImplementedError`` unless ``fake=True``,
+which substitutes a deterministic content-derived fake (stable across
+runs, good enough to exercise every downstream operator). The full
+record is in COVERAGE.md "codec scope".
 """
 
 from __future__ import annotations
@@ -1530,8 +1543,10 @@ def decode_webp(payload: bytes) -> np.ndarray:
             return _decode_vp8l(data)
         if tag in (b"VP8 ", b"VP8X"):
             raise NotImplementedError(
-                "only lossless WebP (VP8L) decodes natively; lossy VP8 / "
-                "extended VP8X need codec libraries not in this environment"
+                "only lossless WebP (VP8L) decodes natively; lossy VP8 "
+                "needs the ~2100 empirical probability tables of RFC 6386 "
+                "§13.4-13.5/§11.4, which exist only in the spec document "
+                "and are unobtainable offline (COVERAGE.md codec scope)"
             )
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8L chunk in WebP container")
@@ -1811,15 +1826,900 @@ def encode_webp_lossless(img: np.ndarray, subtract_green: bool = False,
     return b"RIFF" + struct.pack("<I", riff_size) + b"WEBP" + chunk
 
 
+# ---------------------------------------------------------------------------
+# TIFF (baseline, TIFF 6.0). Like every format implemented in this module
+# — and unlike lossy WebP/VP8 or MP3 (see COVERAGE.md "codec scope") —
+# baseline TIFF carries no spec-tabulated entropy constants: its codings
+# (none / PackBits / LZW / Deflate) are fully algorithmic, so a
+# spec-faithful decoder is buildable offline from stdlib + numpy.
+
+
+class _MsbBits:
+    """MSB-first bit reader (TIFF-LZW code stream, FLAC frames)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # next byte to load
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated bitstream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def sbits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        v = self.bits(k)
+        return v - (1 << k) if v >> (k - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+        return q
+
+    def byte_pos(self) -> int:
+        """Index of the next unread byte; valid only when byte-aligned."""
+        if self.n % 8:
+            raise ValueError("bit reader not byte-aligned")
+        return self.pos - self.n // 8
+
+
+class _MsbWriter:
+    """MSB-first bit writer (TIFF-LZW, FLAC)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v: int, k: int) -> None:
+        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.bits(0, 8 - self.n)
+
+    def getvalue(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first code packing, codes grow
+    9→12 bits with the EARLY code-width change (at next_code 511/1023/
+    2047 — one code earlier than GIF's LSB-first late-change LZW, which
+    lives separately in the GIF section)."""
+    CLEAR, EOI = 256, 257
+    br = _MsbBits(data)
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    next_code = 258
+    prev: int | None = None
+    out = bytearray()
+    while len(out) < expected:
+        try:
+            code = br.bits(width)
+        except ValueError:
+            raise ValueError("truncated TIFF LZW stream")
+        if code == CLEAR:
+            del table[258:]
+            width = 9
+            next_code = 258
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("corrupt TIFF LZW: first code not literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+            table.append(table[prev] + entry[:1])
+            next_code += 1
+        elif code == next_code:
+            entry = table[prev] + table[prev][:1]
+            table.append(entry)
+            next_code += 1
+        else:
+            raise ValueError("corrupt TIFF LZW: code beyond table")
+        if next_code >= 4096:
+            raise ValueError("corrupt TIFF LZW: table overflow without clear")
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change
+        out += entry
+        prev = code
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (tests/fixtures): early change mirrored,
+    CLEAR emitted before the 12-bit table fills (libtiff's behavior)."""
+    CLEAR, EOI = 256, 257
+    bw = _MsbWriter()
+    width = 9
+    bw.bits(CLEAR, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        bw.bits(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        # the decoder's table lags one insert behind, so it bumps at
+        # 2^w - 1 (the TIFF early change); the encoder bumps one later
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        prefix = bytes([b])
+        if next_code >= 4094:  # reset before overflow
+            bw.bits(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            width = 9
+            next_code = 258
+    if prefix:
+        bw.bits(table[prefix], width)
+    bw.bits(EOI, width)
+    return bw.getvalue()
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("truncated PackBits stream")
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Per-row PackBits (TIFF 6.0 §9 packs each row separately)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while (
+            i < n and i - lit_start < 128
+            and not (i + 1 < n and row[i + 1] == row[i])
+        ):
+            i += 1
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """REAL stdlib-only decode of a baseline TIFF (TIFF 6.0) to HxWx3
+    uint8 RGB: both byte orders, strip organization, compressions 1
+    (none) / 5 (LZW, early change) / 32773 (PackBits) / 8+32946
+    (Deflate), horizontal-differencing predictor, photometric 0/1
+    (grayscale, 1- or 8-bit) / 2 (RGB, 8-bit, alpha dropped) / 3
+    (palette, 16-bit colormap). Tiled layout, planar config 2 and the
+    CCITT fax codings (whose code words ARE spec-tabulated) raise."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    endian = "<" if payload[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(endian + "H", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd_off,) = struct.unpack_from(endian + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack_from(endian + "H", payload, ifd_off)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, ftype, count = struct.unpack_from(endian + "HHI", payload, off)
+        if ftype not in type_size:
+            continue  # unknown field type: spec says skip
+        nbytes = type_size[ftype] * count
+        voff = off + 8 if nbytes <= 4 else struct.unpack_from(
+            endian + "I", payload, off + 8
+        )[0]
+        if ftype in type_fmt:
+            tags[tag] = list(struct.unpack_from(
+                endian + str(count) + type_fmt[ftype], payload, voff
+            ))
+        elif ftype == 5:  # rational: store numerators (unused)
+            tags[tag] = [
+                struct.unpack_from(endian + "II", payload, voff + 8 * j)[0]
+                for j in range(count)
+            ]
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    if 322 in tags or 323 in tags or 324 in tags:
+        raise ValueError("tiled TIFF not supported (strips only)")
+    width = one(256)
+    height = one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    planar = one(284, 1)
+    predictor = one(317, 1)
+    bits = tags.get(258, [1] * spp)
+    if planar != 1:
+        raise ValueError("planar TIFF (PlanarConfiguration=2) not supported")
+    if comp in (2, 3, 4):
+        raise ValueError(
+            "CCITT-coded TIFF not supported: the fax code words are "
+            "spec-tabulated constants (see COVERAGE.md codec scope)"
+        )
+    if comp not in (1, 5, 8, 32946, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if len(set(bits)) != 1:
+        raise ValueError("heterogeneous TIFF BitsPerSample not supported")
+    depth = bits[0]
+    if depth not in (1, 8) or (depth == 1 and spp != 1):
+        raise ValueError("only 1-bit bilevel and 8-bit TIFF supported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(278, height)
+    row_bytes = (width * spp * depth + 7) // 8
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        strip = bytes(payload[so:so + sc])
+        if len(strip) != sc:
+            raise ValueError("truncated TIFF strip")
+        nrows = min(rows_per_strip, height - si * rows_per_strip)
+        expected = row_bytes * nrows
+        if comp == 1:
+            if len(strip) < expected:
+                raise ValueError("short uncompressed TIFF strip")
+            raw += strip[:expected]
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip, expected)
+        elif comp in (8, 32946):
+            raw += zlib.decompress(strip)[:expected]
+        else:
+            raw += _packbits_decode(strip, expected)
+    if len(raw) < row_bytes * height:
+        raise ValueError("TIFF strips do not cover the image")
+    if depth == 1:
+        rows = np.frombuffer(raw, np.uint8).reshape(height, row_bytes)
+        px = np.unpackbits(rows, axis=1)[:, :width] * np.uint8(255)
+        if photo == 0:
+            px = 255 - px
+        return np.ascontiguousarray(
+            np.repeat(px[:, :, None], 3, axis=2).astype(np.uint8)
+        )
+    px = np.frombuffer(raw, np.uint8).reshape(height, width, spp)
+    if predictor == 2:
+        px = (px.astype(np.int64).cumsum(axis=1) % 256).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if photo == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF needs >=3 samples per pixel")
+        return np.ascontiguousarray(px[:, :, :3])
+    if photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("palette TIFF missing ColorMap")
+        n = len(cmap) // 3
+        lut = (np.array(cmap, np.uint32).reshape(3, n).T >> 8).astype(np.uint8)
+        return np.ascontiguousarray(lut[px[:, :, 0]])
+    if photo in (0, 1):
+        g = px[:, :, 0]
+        if photo == 0:
+            g = 255 - g
+        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
+    raise ValueError(f"unsupported TIFF photometric {photo}")
+
+
+def encode_tiff(
+    img: np.ndarray,
+    compression: str = "none",
+    predictor: int = 1,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal baseline-TIFF encoder (tests/fixtures): 8-bit grayscale
+    (2-D input) or RGB (HxWx3), compression none/lzw/packbits/deflate,
+    optional horizontal-differencing predictor, either byte order,
+    multi-strip when ``rows_per_strip`` is set."""
+    if img.ndim == 2:
+        spp, photo = 1, 1
+        px = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        spp, photo = 3, 2
+        px = img
+    else:
+        raise ValueError("encode_tiff wants HxW gray or HxWx3 RGB uint8")
+    h, w = px.shape[:2]
+    e = ">" if big_endian else "<"
+    data = px.astype(np.uint8)
+    if predictor == 2:
+        d = data.astype(np.int16)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        data = (d % 256).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError("predictor must be 1 or 2")
+    rps = rows_per_strip or h
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773, "deflate": 8}[
+        compression
+    ]
+    strips = []
+    for y0 in range(0, h, rps):
+        chunk = data[y0:y0 + rps]
+        rawrows = [chunk[y].tobytes() for y in range(chunk.shape[0])]
+        if compression == "none":
+            strips.append(b"".join(rawrows))
+        elif compression == "lzw":
+            strips.append(_tiff_lzw_encode(b"".join(rawrows)))
+        elif compression == "deflate":
+            strips.append(zlib.compress(b"".join(rawrows)))
+        else:
+            strips.append(b"".join(_packbits_encode(r) for r in rawrows))
+
+    entries = []  # (tag, type, count, packed-or-values)
+
+    def short(tag, *vals):
+        entries.append((tag, 3, len(vals), list(vals)))
+
+    def long_(tag, *vals):
+        entries.append((tag, 4, len(vals), list(vals)))
+
+    short(256, w)
+    short(257, h)
+    short(258, *([8] * spp))
+    short(259, comp_code)
+    short(262, photo)
+    long_(273, *([0] * len(strips)))  # offsets patched below
+    short(277, spp)
+    short(278, rps)
+    long_(279, *[len(s) for s in strips])
+    if predictor == 2:
+        short(317, predictor)
+    entries.sort(key=lambda t: t[0])
+
+    header = struct.pack(e + "2sHI", b"MM" if big_endian else b"II", 42, 8)
+    ifd_size = 2 + 12 * len(entries) + 4
+    # layout: header | IFD | overflow values | strips
+    overflow_off = 8 + ifd_size
+    overflow = bytearray()
+    packed = []
+    tsize = {3: 2, 4: 4}
+    tfmt = {3: "H", 4: "I"}
+    for tag, ftype, count, vals in entries:
+        nbytes = tsize[ftype] * count
+        if nbytes <= 4:
+            vbytes = struct.pack(e + str(count) + tfmt[ftype], *vals)
+            packed.append([tag, ftype, count, vbytes.ljust(4, b"\0"), None])
+        else:
+            packed.append([tag, ftype, count, overflow_off + len(overflow),
+                           vals])
+            overflow += struct.pack(e + str(count) + tfmt[ftype], *vals)
+    strip_base = overflow_off + len(overflow)
+    strip_offsets = []
+    acc = strip_base
+    for s in strips:
+        strip_offsets.append(acc)
+        acc += len(s)
+    out = bytearray(header)
+    out += struct.pack(e + "H", len(entries))
+    for tag, ftype, count, val, vals in packed:
+        out += struct.pack(e + "HHI", tag, ftype, count)
+        if vals is None:
+            if tag == 273 and count == 1:
+                out += struct.pack(e + "I", strip_offsets[0])
+            else:
+                out += val
+        else:
+            out += struct.pack(e + "I", val)
+    out += struct.pack(e + "I", 0)  # next-IFD pointer
+    out += overflow
+    # strip offsets were packed as zeros; patch them now that layout is fixed
+    for tag, ftype, count, val, vals in packed:
+        if tag == 273 and vals is not None:
+            struct.pack_into(e + str(count) + "I", out, val, *strip_offsets)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639 / xiph.org spec). Fully self-describing lossless audio:
+# Rice/Golomb residual coding with in-stream parameters, LPC coefficients
+# carried per-subframe, CRC-8/16 with fixed known polynomials — no
+# spec-tabulated entropy constants anywhere, so (unlike MP3, see
+# COVERAGE.md codec scope) a spec-faithful decoder is buildable offline.
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    tbl = []
+    for b in range(256):
+        r = b << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) if r & top else (r << 1)
+        tbl.append(r & mask)
+    return tbl
+
+
+_FLAC_CRC8 = _crc_table(0x07, 8)      # x^8 + x^2 + x + 1
+_FLAC_CRC16 = _crc_table(0x8005, 16)  # x^16 + x^15 + x^2 + 1
+
+
+def _crc8(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _FLAC_CRC8[r ^ b]
+    return r
+
+
+def _crc16(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFF) ^ _FLAC_CRC16[(r >> 8) ^ b]
+    return r
+
+
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+
+
+def _flac_coded_number(br: _MsbBits) -> int:
+    """The frame header's UTF-8-style coded frame/sample number (extended
+    to 36 bits / 7 bytes)."""
+    b0 = br.bits(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n == 0 or n > 6:
+        raise ValueError("corrupt FLAC coded number")
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        c = br.bits(8)
+        if c >> 6 != 0b10:
+            raise ValueError("corrupt FLAC coded-number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(br: _MsbBits, bs: int, order: int) -> np.ndarray:
+    method = br.bits(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    plen = 4 if method == 0 else 5
+    esc = (1 << plen) - 1
+    porder = br.bits(4)
+    nparts = 1 << porder
+    if bs % nparts:
+        raise ValueError("FLAC partition order does not divide blocksize")
+    out = np.empty(bs - order, np.int64)
+    idx = 0
+    for p in range(nparts):
+        count = bs // nparts - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("FLAC partition order larger than first partition")
+        param = br.bits(plen)
+        if param == esc:
+            nbits = br.bits(5)
+            vals = [br.sbits(nbits) for _ in range(count)]
+        else:
+            vals = []
+            for _ in range(count):
+                q = br.unary()
+                u = (q << param) | (br.bits(param) if param else 0)
+                vals.append((u >> 1) ^ -(u & 1))
+        out[idx:idx + count] = vals
+        idx += count
+    return out
+
+
+def _flac_integrate(res: np.ndarray, warm: list[int]) -> np.ndarray:
+    """Undo an order-n fixed predictor: the residual is the nth difference,
+    so reconstruct by n cumulative sums seeded from the warm-up samples."""
+    order = len(warm)
+    w = np.array(warm, np.int64)
+    if order == 0:
+        return res.copy()
+    inits = []
+    d = w.copy()
+    for _ in range(order):
+        inits.append(int(d[-1]))
+        d = np.diff(d)
+    seq = res
+    for k in range(order - 1, -1, -1):
+        seq = inits[k] + np.cumsum(seq)
+    return np.concatenate([w, seq])
+
+
+def _flac_subframe(br: _MsbBits, bs: int, bps: int) -> np.ndarray:
+    if br.bits(1):
+        raise ValueError("FLAC subframe pad bit set")
+    t = br.bits(6)
+    wasted = 0
+    if br.bits(1):
+        wasted = br.unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if t == 0:  # CONSTANT
+        out = np.full(bs, br.sbits(eff), np.int64)
+    elif t == 1:  # VERBATIM
+        out = np.array([br.sbits(eff) for _ in range(bs)], np.int64)
+    elif 8 <= t <= 12:  # FIXED, order 0-4
+        order = t & 7
+        if order > bs:
+            raise ValueError("FLAC fixed order exceeds blocksize")
+        warm = [br.sbits(eff) for _ in range(order)]
+        out = _flac_integrate(_flac_residual(br, bs, order), warm)
+    elif t >= 32:  # LPC, order 1-32
+        order = (t & 31) + 1
+        if order > bs:
+            raise ValueError("FLAC LPC order exceeds blocksize")
+        warm = [br.sbits(eff) for _ in range(order)]
+        prec = br.bits(4)
+        if prec == 15:
+            raise ValueError("invalid FLAC LPC precision")
+        prec += 1
+        shift = br.sbits(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.sbits(prec) for _ in range(order)]
+        res = _flac_residual(br, bs, order)
+        out = np.empty(bs, np.int64)
+        out[:order] = warm
+        o = out.tolist()  # IIR recurrence: sequential by nature
+        for i in range(order, bs):
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * o[i - 1 - j]
+            o[i] = int(res[i - order]) + (acc >> shift)
+        out = np.array(o, np.int64)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {t}")
+    return out << wasted
+
+
+def _flac_frame(data: bytes, pos: int, sr0: int, ch0: int, bps0: int):
+    br = _MsbBits(data, pos)
+    if br.bits(14) != 0x3FFE:
+        raise ValueError("bad FLAC frame sync")
+    if br.bits(1):
+        raise ValueError("FLAC frame reserved bit set")
+    br.bits(1)  # blocking strategy (fixed/variable) — number unused here
+    bs_code = br.bits(4)
+    sr_code = br.bits(4)
+    ch_code = br.bits(4)
+    ss_code = br.bits(3)
+    if br.bits(1):
+        raise ValueError("FLAC frame reserved bit set")
+    _flac_coded_number(br)
+    if bs_code == 0:
+        raise ValueError("reserved FLAC blocksize code")
+    elif bs_code == 1:
+        bs = 192
+    elif bs_code <= 5:
+        bs = 576 << (bs_code - 2)
+    elif bs_code == 6:
+        bs = br.bits(8) + 1
+    elif bs_code == 7:
+        bs = br.bits(16) + 1
+    else:
+        bs = 256 << (bs_code - 8)
+    if sr_code == 0:
+        sr = sr0
+    elif sr_code <= 11:
+        sr = _FLAC_RATES[sr_code]
+    elif sr_code == 12:
+        sr = br.bits(8) * 1000
+    elif sr_code == 13:
+        sr = br.bits(16)
+    elif sr_code == 14:
+        sr = br.bits(16) * 10
+    else:
+        raise ValueError("invalid FLAC sample-rate code")
+    ss_map = {0: bps0, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+    if ss_code not in ss_map:
+        raise ValueError("reserved FLAC sample-size code")
+    bps = ss_map[ss_code]
+    if ch_code < 8:
+        nch, mode = ch_code + 1, "indep"
+    elif ch_code == 8:
+        nch, mode = 2, "ls"   # left/side
+    elif ch_code == 9:
+        nch, mode = 2, "rs"   # right/side
+    elif ch_code == 10:
+        nch, mode = 2, "ms"   # mid/side
+    else:
+        raise ValueError("reserved FLAC channel assignment")
+    hdr_end = br.byte_pos()
+    if _crc8(data[pos:hdr_end]) != br.bits(8):
+        raise ValueError("FLAC frame header CRC-8 mismatch")
+    chans = []
+    for c in range(nch):
+        extra = 1 if ((mode == "ls" and c == 1) or (mode == "rs" and c == 0)
+                      or (mode == "ms" and c == 1)) else 0
+        chans.append(_flac_subframe(br, bs, bps + extra))
+    if mode == "ls":
+        left, side = chans
+        chans = [left, left - side]
+    elif mode == "rs":
+        side, right = chans
+        chans = [side + right, right]
+    elif mode == "ms":
+        mid, side = chans
+        m = (mid << 1) | (side & 1)
+        chans = [(m + side) >> 1, (m - side) >> 1]
+    pad = br.n % 8
+    if pad and br.bits(pad) != 0:
+        raise ValueError("nonzero FLAC frame padding")
+    end = br.byte_pos()
+    if _crc16(data[pos:end]) != br.bits(16):
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    return np.stack(chans, axis=1), bps, sr, end + 2
+
+
+def decode_flac_pcm(payload: bytes):
+    """REAL stdlib+numpy decode of a FLAC stream → ``(samples, rate,
+    bits)`` with ``samples`` int32 of shape (n, channels). Every subframe
+    type (constant / verbatim / fixed 0-4 / LPC 1-32), Rice partitions
+    with escapes, wasted bits, all four stereo decorrelation modes, and
+    both frame CRCs are implemented per the public spec (RFC 9639)."""
+    if len(payload) < 8 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    info = None
+    last = False
+    while not last:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata header")
+        hdr = payload[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("bad FLAC STREAMINFO size")
+            packed = int.from_bytes(body[10:18], "big")
+            sr = packed >> 44
+            nch = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            info = (sr, nch, bps, total)
+        elif btype == 127:
+            raise ValueError("invalid FLAC metadata type 127")
+        pos += 4 + blen
+    if info is None:
+        raise ValueError("FLAC stream missing STREAMINFO")
+    sr0, ch0, bps0, total = info
+    chunks = []
+    rate, bits = sr0, bps0
+    while pos < len(payload):
+        frame, bits, rate, pos = _flac_frame(payload, pos, sr0, ch0, bps0)
+        chunks.append(frame)
+    if chunks:
+        samples = np.concatenate(chunks).astype(np.int32)
+    else:
+        samples = np.zeros((0, ch0), np.int32)
+    if total and len(samples) != total:
+        raise ValueError("FLAC frame samples disagree with STREAMINFO total")
+    return samples, rate, bits
+
+
+def decode_flac(payload: bytes) -> np.ndarray:
+    """FLAC → mono float32 in [-1, 1), the :func:`decode_wav` contract
+    (channels averaged; scaled by 2^(bits-1))."""
+    samples, _rate, bits = decode_flac_pcm(payload)
+    mono = samples.astype(np.float32).mean(axis=1)
+    return (mono / np.float32(1 << (bits - 1))).astype(np.float32)
+
+
+def _flac_write_coded(bw: _MsbWriter, v: int) -> None:
+    if v < 0x80:
+        bw.bits(v, 8)
+        return
+    # n continuation bytes carry 6n bits; the lead byte carries 6-n more
+    n = 1
+    while v >= (1 << (5 * n + 6)) and n < 6:
+        n += 1
+    lead_payload = 6 - n
+    bw.bits((0xFF << (lead_payload + 1)) & 0xFF
+            | (v >> (6 * n)) & ((1 << lead_payload) - 1), 8)
+    for i in range(n - 1, -1, -1):
+        bw.bits(0b10 << 6 | ((v >> (6 * i)) & 0x3F), 8)
+
+
+def _flac_rice_cost(res: np.ndarray, param: int) -> int:
+    u = (np.abs(res) << 1) - (res < 0)
+    return int(np.sum(u >> param)) + len(res) * (param + 1)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    bps: int = 16,
+    blocksize: int = 4096,
+    stereo_mode: str = "indep",
+) -> bytes:
+    """Minimal FLAC encoder (tests/fixtures): fixed predictors 0-2 with
+    one-partition Rice residuals (verbatim fallback), explicit blocksize
+    headers, optional mid/left/right-side stereo, real CRC-8/16.
+    ``samples`` is int of shape (n,) or (n, channels)."""
+    s = np.asarray(samples, np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, nch = s.shape
+    lim = 1 << (bps - 1)
+    if s.min() < -lim or s.max() >= lim:
+        raise ValueError("samples exceed bits-per-sample range")
+    if stereo_mode != "indep" and nch != 2:
+        raise ValueError("side stereo needs exactly 2 channels")
+
+    out = bytearray(b"fLaC")
+    streaminfo = bytearray()
+    streaminfo += struct.pack(">HH", blocksize, blocksize)
+    streaminfo += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    packed = (sample_rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | n
+    streaminfo += packed.to_bytes(8, "big")
+    streaminfo += b"\x00" * 16  # MD5 unset (spec: 0 = unknown)
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    ss_codes = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+    if bps not in ss_codes:
+        raise ValueError("unsupported bits-per-sample")
+    ch_code = {"indep": nch - 1, "ls": 8, "rs": 9, "ms": 10}[stereo_mode]
+
+    def subframe(bw: _MsbWriter, x: np.ndarray, sbps: int) -> None:
+        best = None
+        for order in (0, 1, 2):
+            if order >= len(x):
+                break
+            res = x.copy()
+            for _ in range(order):
+                res = np.diff(res)
+            # Rice parameter by direct cost search
+            mean = max(1.0, float(np.abs(res).mean()))
+            guess = max(0, int(mean).bit_length() - 1)
+            cands = {max(0, guess - 1), guess, guess + 1, guess + 2}
+            for p in cands:
+                if p > 30:
+                    continue
+                cost = _flac_rice_cost(res, p) + order * sbps
+                if best is None or cost < best[0]:
+                    best = (cost, order, p, res)
+        verbatim_cost = len(x) * sbps
+        bw.bits(0, 1)  # pad
+        if best is not None and best[0] < verbatim_cost and len(x) > 2:
+            _cost, order, p, res = best
+            bw.bits(8 + order, 6)  # FIXED
+            bw.bits(0, 1)  # no wasted bits
+            for v in x[:order]:
+                bw.bits(int(v), sbps)
+            bw.bits(0, 2)   # 4-bit Rice method
+            bw.bits(0, 4)   # partition order 0
+            if p >= 15:
+                bw.bits(15, 4)  # escape: raw signed residuals
+                need = min(31, max(
+                    (int(np.abs(res).max()) if len(res) else 0)
+                    .bit_length() + 1, 1))
+                bw.bits(need, 5)
+                for v in res:
+                    bw.bits(int(v), need)
+            else:
+                bw.bits(p, 4)
+                for v in res:
+                    u = (int(abs(v)) << 1) - (1 if v < 0 else 0)
+                    q = u >> p
+                    bw.bits(1, q + 1)  # q zeros then a one
+                    if p:
+                        bw.bits(u & ((1 << p) - 1), p)
+        else:
+            bw.bits(1, 6)  # VERBATIM
+            bw.bits(0, 1)
+            for v in x:
+                bw.bits(int(v), sbps)
+
+    frame_idx = 0
+    for start in range(0, max(n, 1), blocksize):
+        block = s[start:start + blocksize]
+        bs = len(block)
+        if bs == 0:
+            break
+        bw = _MsbWriter()
+        bw.bits(0x3FFE, 14)
+        bw.bits(0, 1)
+        bw.bits(0, 1)  # fixed blocking strategy
+        bw.bits(7, 4)  # explicit 16-bit blocksize-1 follows
+        bw.bits(13, 4)  # explicit 16-bit sample rate in Hz follows
+        bw.bits(ch_code, 4)
+        bw.bits(ss_codes[bps], 3)
+        bw.bits(0, 1)
+        _flac_write_coded(bw, frame_idx)
+        bw.bits(bs - 1, 16)
+        bw.bits(sample_rate, 16)
+        # header fields are byte-aligned here; CRC-8 covers them all
+        bw.bits(_crc8(bytes(bw.buf)), 8)
+        if stereo_mode == "indep":
+            chans = [(block[:, c], bps) for c in range(nch)]
+        elif stereo_mode == "ls":
+            chans = [(block[:, 0], bps), (block[:, 0] - block[:, 1], bps + 1)]
+        elif stereo_mode == "rs":
+            chans = [(block[:, 0] - block[:, 1], bps + 1), (block[:, 1], bps)]
+        else:  # ms
+            side = block[:, 0] - block[:, 1]
+            mid = (block[:, 0] + block[:, 1]) >> 1
+            chans = [(mid, bps), (side, bps + 1)]
+        for x, sbps in chans:
+            subframe(bw, x, sbps)
+        bw.align()
+        body = bw.getvalue()
+        out += body + struct.pack(">H", _crc16(body))
+        frame_idx += 1
+    return bytes(out)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    BMP, PNG, GIF, baseline JPEG and lossless WebP (VP8L) decode for REAL
-    (stdlib struct/zlib + numpy). Remaining formats (lossy WebP/AVIF/
-    TIFF/...) need codec libraries not present in this container: for
-    those, ``fake=True`` produces a deterministic 8x8x3 array derived
-    from the payload digest — stable, collision-resistant, and shaped
-    like the real thing for downstream plumbing."""
+    BMP, PNG, GIF, baseline+progressive JPEG, lossless WebP (VP8L) and
+    baseline TIFF decode for REAL (stdlib struct/zlib + numpy).
+    Remaining formats (lossy WebP/AVIF/...) depend on spec-tabulated
+    entropy constants unreachable in this container (see COVERAGE.md
+    codec scope): for those, ``fake=True`` produces a deterministic
+    8x8x3 array derived from the payload digest — stable,
+    collision-resistant, and shaped like the real thing for downstream
+    plumbing."""
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload and payload.startswith(_PNG_SIG):
@@ -1828,6 +2728,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_gif(payload)
     if payload and payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         try:
             return decode_webp(payload)
@@ -1836,9 +2738,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
                 raise
     if not fake:
         raise NotImplementedError(
-            "only BMP, PNG, GIF, baseline JPEG and lossless WebP decode "
-            "natively; other image codecs are not available in this "
-            "environment — pass fake=True for the deterministic stand-in"
+            "only BMP, PNG, GIF, baseline+progressive JPEG, lossless WebP "
+            "and baseline TIFF decode natively; other image codecs are not "
+            "available in this environment — pass fake=True for the "
+            "deterministic stand-in"
         )
     digest = hashlib.sha256(payload or b"").digest()
     rng = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
@@ -1848,33 +2751,61 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 def decode_wav(payload: bytes) -> np.ndarray:
     """REAL stdlib decode of PCM WAV to mono float32 in [-1, 1) (16-bit
     and 8-bit PCM; channels averaged to mono)."""
+    samples, _rate, bits = decode_wav_pcm(payload)
+    mono = samples.astype(np.float32).mean(axis=1)
+    return (mono / np.float32(1 << (bits - 1))).astype(np.float32)
+
+
+def decode_wav_pcm(payload: bytes):
+    """PCM WAV → ``(samples, rate, bits)`` with ``samples`` int32 of shape
+    (n, channels) — the integer-exact twin of :func:`decode_wav`, shared
+    with :func:`decode_flac_pcm` so the audio content manifest can hash
+    bit-exact PCM across container formats."""
     with wave.open(io.BytesIO(payload)) as w:
         n_ch = w.getnchannels()
         width = w.getsampwidth()
+        rate = w.getframerate()
         frames = w.readframes(w.getnframes())
     if width == 2:
-        samples = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.int32)
+        bits = 16
     elif width == 1:
-        samples = (
-            np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0
-        ) / 128.0
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int32) - 128
+        bits = 8
     else:
         raise ValueError(f"unsupported PCM sample width {width}")
-    if n_ch > 1:
-        samples = samples.reshape(-1, n_ch).mean(axis=1)
-    return samples.astype(np.float32)
+    return samples.reshape(-1, n_ch), rate, bits
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """16-bit PCM WAV writer (tests/fixtures); ``samples`` int of shape
+    (n,) or (n, channels), interleaved on disk."""
+    s = np.asarray(samples, np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(s.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(s.astype("<i2").tobytes())
+    return buf.getvalue()
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
-    """PCM WAV decodes for REAL (stdlib ``wave``); other formats as
-    :func:`decode_image` — fake yields 1024 deterministic float32 samples."""
+    """PCM WAV and FLAC decode for REAL (stdlib ``wave``; the RFC 9639
+    decoder above); other formats as :func:`decode_image` — fake yields
+    1024 deterministic float32 samples."""
     if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload and payload[:4] == b"fLaC":
+        return decode_flac(payload)
     if not fake:
         raise NotImplementedError(
-            "only PCM WAV decodes natively; other audio codecs are not "
-            "available in this environment — pass fake=True for the "
-            "deterministic stand-in"
+            "only PCM WAV and FLAC decode natively; other audio codecs "
+            "(MP3/AAC/...: spec-tabulated entropy constants, see "
+            "COVERAGE.md codec scope) are not available in this "
+            "environment — pass fake=True for the deterministic stand-in"
         )
     digest = hashlib.sha256(payload or b"").digest()
     raw = np.frombuffer((digest * 128)[: 1024 * 4], dtype=np.uint32)
@@ -1943,6 +2874,10 @@ def sniff_mime(data: bytes) -> str:
         return "audio/wav"
     if data[:2] == b"\xff\xd8":
         return "image/jpeg"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
+    if data[:4] == b"fLaC":
+        return "audio/flac"
     return "application/octet-stream"
 
 
@@ -1977,6 +2912,49 @@ def image_content_manifest(df):
 
     return df.select("media_id", "payload").mapInPandas(
         _batches, MANIFEST_DDL
+    )
+
+
+AUDIO_MANIFEST_DDL = ("media_id bigint, mime string, n_samples int, "
+                      "channels int, pcm_sha256 string")
+
+
+def audio_content_manifest(df):
+    """PCM-level content manifest over a mixed-format audio column (the
+    audio twin of :func:`image_content_manifest`): mime sniffed from
+    payload magic, sample/channel counts and a CONTENT hash from the real
+    decode (``mapInPandas``, Arrow batches). ``pcm_sha256`` is sha256
+    over the lowercase-hex serialization of the interleaved little-endian
+    int16 PCM — hashing decoded samples rather than payload bytes makes
+    exact audio dedup work ACROSS containers: a WAV and a FLAC of the
+    same recording share one pcm_sha256 (FLAC is lossless)."""
+    import pandas as pd
+
+    def _batches(it):
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if data[:4] == b"fLaC":
+                    samples, _rate, bits = decode_flac_pcm(data)
+                else:
+                    samples, _rate, bits = decode_wav_pcm(data)
+                if bits != 16:
+                    raise ValueError("audio manifest expects 16-bit PCM")
+                pcm = samples.astype("<i2").tobytes()
+                out.append({
+                    "media_id": mid,
+                    "mime": sniff_mime(data),
+                    "n_samples": samples.shape[0],
+                    "channels": samples.shape[1],
+                    "pcm_sha256": hashlib.sha256(
+                        pcm.hex().encode()
+                    ).hexdigest(),
+                })
+            yield pd.DataFrame.from_records(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _batches, AUDIO_MANIFEST_DDL
     )
 
 

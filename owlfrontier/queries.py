@@ -2067,11 +2067,12 @@ def q_multimodal_features(spark, sf_dir):
     SQL-expressible — the SQL-expressible half of this pipeline is
     oracle-paired separately in q_multimodal_manifest, which hash-checks
     the decoded-pixel content manifest): deterministic payloads derived
-    per doc_id — BMP (ids ≡ 0 mod 5), PNG (≡ 1), GIF (≡ 2, ≤256-color
-    quantized), baseline JPEG (≡ 3), lossless WebP (≡ 4) — decoded for
-    REAL by the stdlib codecs inside the ``mapInPandas`` feature
-    pipeline (multimodal.py), exercising a mixed-format media column the
-    way a real crawl store carries one."""
+    per doc_id — BMP (ids ≡ 0 mod 6), PNG (≡ 1), GIF (≡ 2, ≤256-color
+    quantized), baseline JPEG (≡ 3), lossless WebP (≡ 4), baseline TIFF
+    (≡ 5, LZW + horizontal predictor) — decoded for REAL by the stdlib
+    codecs inside the ``mapInPandas`` feature pipeline (multimodal.py),
+    exercising a mixed-format media column the way a real crawl store
+    carries one."""
     import hashlib as _hl
 
     from owlfrontier.multimodal import (
@@ -2079,6 +2080,7 @@ def q_multimodal_features(spark, sf_dir):
         encode_gif,
         encode_jpeg,
         encode_png,
+        encode_tiff,
         encode_webp_lossless,
         image_feature_pipeline,
     )
@@ -2098,7 +2100,7 @@ def q_multimodal_features(spark, sf_dir):
                 img = np.frombuffer(
                     (digest * 6)[: 8 * 8 * 3], dtype=np.uint8
                 ).reshape(8, 8, 3)
-                m = int(mid) % 5
+                m = int(mid) % 6
                 if m == 0:
                     payloads.append(encode_bmp(img))
                 elif m == 1:
@@ -2108,8 +2110,12 @@ def q_multimodal_features(spark, sf_dir):
                     payloads.append(encode_gif([(img >> 5) << 5]))
                 elif m == 3:
                     payloads.append(encode_jpeg(img))
-                else:
+                elif m == 4:
                     payloads.append(encode_webp_lossless(img))
+                else:
+                    payloads.append(
+                        encode_tiff(img, compression="lzw", predictor=2)
+                    )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
@@ -2165,25 +2171,26 @@ def q_multimodal_manifest(spark, sf_dir):
     sha256(doc_id) — so DuckDB reconstructs the exact decoded bytes
     arithmetically while Spark gets them by genuinely round-tripping the
     payload through the real codecs (mapInPandas). Formats: BMP/PNG/
-    WebP-VP8L decode bit-exactly; GIF decodes to the 3-bit-quantized
-    palette image (b & 0xE0, expressible as per-nibble hex translate in
-    SQL); JPEG is excluded — lossy DCT output is not SQL-expressible
-    (it stays pytest-pinned in q_multimodal_features). A wrong decoder,
-    wrong encoder routing, or wrong compositing shows up as a hash
-    mismatch here."""
+    WebP-VP8L/TIFF(LZW+predictor) decode bit-exactly; GIF decodes to the
+    3-bit-quantized palette image (b & 0xE0, expressible as per-nibble
+    hex translate in SQL); JPEG is excluded — lossy DCT output is not
+    SQL-expressible (it stays pytest-pinned in q_multimodal_features).
+    A wrong decoder, wrong encoder routing, or wrong compositing shows
+    up as a hash mismatch here."""
     import hashlib as _hl
 
     from owlfrontier.multimodal import (
         encode_bmp,
         encode_gif,
         encode_png,
+        encode_tiff,
         encode_webp_lossless,
         image_content_manifest,
     )
 
     docs = _spread(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("bigint").alias("media_id")
-    ).where(F.col("media_id") % 5 != 3)  # JPEG rows: lossy, not SQL-able
+    ).where(F.col("media_id") % 6 != 3)  # JPEG rows: lossy, not SQL-able
 
     def gen(it):
         import numpy as np
@@ -2196,15 +2203,19 @@ def q_multimodal_manifest(spark, sf_dir):
                 img = np.frombuffer(
                     (digest * 6)[: 8 * 8 * 3], dtype=np.uint8
                 ).reshape(8, 8, 3)
-                m = int(mid) % 5
+                m = int(mid) % 6
                 if m == 0:
                     payloads.append(encode_bmp(img))
                 elif m == 1:
                     payloads.append(encode_png(img))
                 elif m == 2:
                     payloads.append(encode_gif([(img >> 5) << 5]))
-                else:
+                elif m == 4:
                     payloads.append(encode_webp_lossless(img))
+                else:
+                    payloads.append(
+                        encode_tiff(img, compression="lzw", predictor=2)
+                    )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
@@ -2221,15 +2232,16 @@ def q_multimodal_manifest(spark, sf_dir):
 SQL_MULTIMODAL_MANIFEST = """
 WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id,
-         CAST(doc_id AS BIGINT) % 5 AS m,
+         CAST(doc_id AS BIGINT) % 6 AS m,
          repeat(sha256(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 6)
            AS rgb_hex
   FROM documents
-  WHERE CAST(doc_id AS BIGINT) % 5 <> 3
+  WHERE CAST(doc_id AS BIGINT) % 6 <> 3
 )
 SELECT media_id,
        CASE m WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
-              WHEN 2 THEN 'image/gif' ELSE 'image/webp' END AS mime,
+              WHEN 2 THEN 'image/gif' WHEN 4 THEN 'image/webp'
+              ELSE 'image/tiff' END AS mime,
        CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
        CASE WHEN m = 2 THEN sha256(
          (SELECT string_agg(
@@ -2238,6 +2250,87 @@ SELECT media_id,
              '' ORDER BY i)
           FROM generate_series(1, 192) AS t(i)))
        ELSE sha256(rgb_hex) END AS rgb_sha256
+FROM d
+"""
+
+
+def q_audio_manifest(spark, sf_dir):
+    """Audio twin of q_multimodal_manifest, over the round-5 FLAC + WAV
+    codecs: per doc_id a deterministic int16 PCM signal — sample k of
+    channel c is ((id*7919 + k*104729 + c*31337) mod 65536) - 32768,
+    150 + id%7 samples, stereo iff id%4 >= 2 — containered as PCM WAV
+    (even ids) or FLAC (odd ids, blocksize 64 → multi-frame streams with
+    a short last frame, mid/side for the stereo rows). Spark decodes the
+    payloads for REAL (multimodal.audio_content_manifest, mapInPandas);
+    DuckDB reconstructs the identical interleaved little-endian PCM hex
+    arithmetically and hashes it. FLAC is lossless, so a WAV and a FLAC
+    of the same signal share one pcm_sha256 — and any decoder bug
+    (subframe reconstruction, stereo decorrelation, frame sequencing)
+    is a hash mismatch here."""
+    from owlfrontier.multimodal import (
+        audio_content_manifest,
+        encode_flac,
+        encode_wav,
+    )
+
+    docs = _spread(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("media_id")
+    )
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 150 + mid % 7
+                nch = 2 if mid % 4 >= 2 else 1
+                k = np.arange(n, dtype=np.int64)
+                chans = [
+                    ((mid * 7919 + k * 104729 + c * 31337) % 65536) - 32768
+                    for c in range(nch)
+                ]
+                s = np.stack(chans, axis=1)
+                if mid % 2 == 0:
+                    payloads.append(encode_wav(s))
+                else:
+                    payloads.append(encode_flac(
+                        s, blocksize=64,
+                        stereo_mode="ms" if nch == 2 else "indep",
+                    ))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, "media_id bigint, payload binary")
+    return audio_content_manifest(media)
+
+
+# DuckDB rebuilds the interleaved int16-LE PCM hex that Spark obtained by
+# real WAV/FLAC decodes: u16 two's complement = (x + 32768) % 65536,
+# bytes lo||hi as %02x. generate_series can't take correlated bounds in
+# this DuckDB, so iterate a constant 0..499 and filter i < n*ch
+# (max n*ch = 156*2 = 312).
+SQL_AUDIO_MANIFEST = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS mid,
+         150 + CAST(doc_id AS BIGINT) % 7 AS n,
+         CASE WHEN CAST(doc_id AS BIGINT) % 4 >= 2 THEN 2 ELSE 1 END AS ch
+  FROM documents
+)
+SELECT mid AS media_id,
+       CASE WHEN mid % 2 = 0 THEN 'audio/wav' ELSE 'audio/flac' END AS mime,
+       CAST(n AS INT) AS n_samples,
+       CAST(ch AS INT) AS channels,
+       sha256((SELECT string_agg(printf('%02x%02x',
+                ((mid*7919 + (i // ch)*104729 + (i % ch)*31337 + 32768)
+                 % 65536) % 256,
+                ((mid*7919 + (i // ch)*104729 + (i % ch)*31337 + 32768)
+                 % 65536) // 256), '' ORDER BY i)
+               FROM generate_series(0, 499) t(i)
+               WHERE i < n * ch)) AS pcm_sha256
 FROM d
 """
 
@@ -2391,6 +2484,7 @@ QUERIES = {
     "search_highlights_slop1": q_search_highlights_slop1,
     "multimodal_features": q_multimodal_features,  # rows-only (binary decode)
     "multimodal_manifest": q_multimodal_manifest,
+    "audio_manifest": q_audio_manifest,
     "frame_sample": q_frame_sample,  # rows-only (video-analog frame extraction)
     "neardup_embedding": q_neardup_embedding,
     "stats_rollup": q_stats_rollup,
@@ -2417,6 +2511,7 @@ ORACLE = {
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "ann_lsh_pairs": SQL_ANN_LSH_PAIRS,
     "multimodal_manifest": SQL_MULTIMODAL_MANIFEST,
+    "audio_manifest": SQL_AUDIO_MANIFEST,
     "ann_lsh_pairs_banded": SQL_ANN_LSH_PAIRS_BANDED,
     "ann_ivf_assign": SQL_ANN_IVF_ASSIGN,
     "ann_ivf_train": SQL_ANN_IVF_TRAIN,
