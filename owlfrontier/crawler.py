@@ -43,7 +43,7 @@ from owlfrontier.extract import extraction_udf
 from owlfrontier.politeness import budget_split, fifo_order
 from owlfrontier.robots import robots_rules_udf
 from owlfrontier.storage import resolve_store
-from owlfrontier.urlutil import HOST_REGEX, PATH_REGEX
+from owlfrontier.urlutil import HOST_REGEX, PATH_REGEX, canonical_url_sql
 
 
 @dataclass
@@ -109,6 +109,20 @@ class CrawlConfig:
     # query then aggregates the postings table instead of re-tokenizing
     # every crawled page (see CrawlEngine.word_index)
     maintain_index: bool = False
+    # key the URL-seen set / first-wins identity on CANONICALIZED urls
+    # (north_rule: "URL-seen set keyed on canonicalized+hashed URLs").
+    # Implemented as a frontier-INGRESS rewrite: seeds and freshly
+    # discovered links are canonicalized (fragment, :80, www.,
+    # utm_*/ref params, trailing slash — urlutil.canonical_url_sql)
+    # BEFORE first-wins and the anti-join, so one canonical identity
+    # flows through the whole pipeline: seen set, bloom hashes,
+    # politeness host grouping and the fetch join all see it — no
+    # key/value split, no extra column, zero plan change when off.
+    # Default OFF: the reference never normalizes (parse.go:88-131) and
+    # crawl-order equivalence is keyed on verbatim urls. When ON, the
+    # pages store must itself be canonical-unique — build it once at
+    # ingestion with CrawlEngine.canonicalize_pages.
+    canonical_keys: bool = False
     # run SnapshotStore.compact()/IcebergStore.compact() at the generation
     # barrier whenever the committed crawled-generation count reaches this
     # many dirs/partitions. The per-generation expansion anti-join reads
@@ -418,7 +432,43 @@ class CrawlEngine:
         # first-wins dedup of duplicate seed submissions (O1/O3 at
         # enqueue) — the hot loop's map-side-combining min_by, so a
         # 10^8-row gen-0 seed table partial-aggregates before the shuffle
-        return first_wins_pool(df)
+        return first_wins_pool(self._canonical_ingress(df))
+
+    def _canonical_ingress(self, df: DataFrame) -> DataFrame:
+        """``canonical_keys``: rewrite url (and its derived host) at the
+        frontier's ingress points, BEFORE first-wins/dedup — variant
+        spellings of a page collapse to one frontier identity. Identity
+        transform (the SAME DataFrame object) when the knob is off, so
+        the reference-equivalence path's plan is untouched."""
+        if not self.config.canonical_keys:
+            return df
+        return df.withColumn(
+            "url", F.expr(canonical_url_sql("url", "spark"))
+        ).withColumn("host", F.regexp_extract("url", HOST_REGEX, 1))
+
+    @staticmethod
+    def canonicalize_pages(pages: DataFrame) -> DataFrame:
+        """Ingestion-time companion of ``canonical_keys=True``: rewrite
+        the pages store's url column to canonical form and keep exactly
+        ONE row per canonical url (first-wins by ``warc_ts`` with the
+        raw url as the deterministic tiebreak — the earliest capture).
+        Run ONCE when building/refreshing the store (and re-bucket the
+        result if using ``fetch_join="bucketed"``) — it is a full
+        groupBy of the store, not a per-generation cost; the engine's
+        fetch join then matches the canonical frontier keys, and
+        duplicate captures can never fan the fetch join out."""
+        others = [c for c in pages.columns if c != "url"]
+        return (
+            pages.withColumn("_raw", F.col("url"))
+            .withColumn("url", F.expr(canonical_url_sql("url", "spark")))
+            .groupBy("url")
+            .agg(
+                F.min_by(
+                    F.struct(*others), F.struct("warc_ts", "_raw")
+                ).alias("r")
+            )
+            .select("url", *[F.col(f"r.{c}").alias(c) for c in others])
+        )
 
     def _priority_order(self) -> list:
         p = self.config.priority
@@ -763,8 +813,9 @@ class CrawlEngine:
         # unique urls AND reuses the groupBy's hash-partitioning on url
         # (no second pool exchange). Filter-by-crawled commutes with
         # per-url min, so the result is identical to
-        # dedup-then-first-wins.
-        pool = deferred.unionByName(candidates)
+        # dedup-then-first-wins. Deferred rows were canonicalized when
+        # first enqueued, so only fresh candidates go through ingress.
+        pool = deferred.unionByName(self._canonical_ingress(candidates))
         pool_first = first_wins_pool(pool)
         # enqueue-time dedup (O3, THE dedup pass — frontiers commit
         # clean): Bloom-prefiltered exact anti-join on the deduped pool

@@ -73,3 +73,56 @@ def with_order_preserving_seq(
             yield pdf
 
     return ranged.mapInPandas(_number, out_ddl)
+
+
+def with_running_total(
+    df: DataFrame, order_cols: list[str], value_col: str,
+    out_col: str = "running", partitions: int | None = None,
+    exclusive: bool = True,
+) -> DataFrame:
+    """Adds ``out_col`` = prefix sum of ``value_col`` in ``ORDER BY
+    order_cols`` order (exclusive by default: sum of all STRICTLY earlier
+    rows), with the same two-job range-partition pattern as
+    :func:`with_order_preserving_seq` — a global ``SUM() OVER (ORDER BY
+    ...)`` window collapses to one partition, a non-starter for a
+    10^8-document corpus. Used by training sequence packing
+    (concatenate-and-chunk: each document's global token offset)."""
+    import pandas as pd
+
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+
+    fields = ranged.schema.fields
+    out_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in fields if f.name != "_pid"
+    ) + f", `{out_col}` bigint"
+
+    def _cum(it):
+        run = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["_pid"].iloc[0])]
+            vals = pdf[value_col].astype("int64")
+            inc = vals.cumsum() + run
+            run = int(inc.iloc[-1])
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[out_col] = (inc - vals) if exclusive else inc
+            yield pdf
+
+    return ranged.mapInPandas(_cum, out_ddl)

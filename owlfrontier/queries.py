@@ -2442,6 +2442,483 @@ GROUP BY k_bucket
 
 
 # ---------------------------------------------------------------------------
+# Training-corpus hygiene operators (round 5): cross-doc duplication,
+# benchmark decontamination, PII scrubbing, ranked retrieval, URL
+# canonicalization, sequence packing
+# ---------------------------------------------------------------------------
+
+_DUPGRAM_N = 3
+
+
+def _gram_expr(n: int, arr: str = "ws") -> str:
+    """Spark SQL expr: the array of word ``n``-grams of array column
+    ``arr`` (space-joined; empty for docs shorter than ``n``)."""
+    joined = ", ' ', ".join(f"{arr}[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN size({arr}) >= {n} THEN "
+        f"transform(sequence(0, size({arr}) - {n}), "
+        f"i -> concat({joined})) ELSE array() END"
+    )
+
+
+def _gram_duck(n: int, arr: str = "ws") -> str:
+    """DuckDB fragment: SELECT that unnests word n-grams (1-based lists)."""
+    joined = "||' '||".join(f"{arr}[i + {k}]" for k in range(n))
+    return (
+        f"unnest([{joined} for i in generate_series(1, len({arr}) - {n - 1})])"
+    )
+
+
+def q_dup_ngram_frac(spark, sf_dir):
+    """Cross-document duplicated n-gram fraction (the CCNet / FineWeb
+    "fraction of text duplicated elsewhere in the corpus" signal): for
+    each doc, the share of its DISTINCT 3-grams that also occur in at
+    least one OTHER document. Scale shape: explode → per-doc-distinct
+    grams in the same aggregation (groupBy doc_id+gram), then ONE
+    groupBy(gram) for corpus doc-frequency, one join back on gram, one
+    final per-doc aggregation — the classic two-agg + self-semi-join
+    plan; nothing is ever all-pairs and every count is map-side
+    combinable. Numerators/denominators integer-exact; only the final
+    ratio is rounded."""
+    n = _DUPGRAM_N
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    grams = d.select(
+        "doc_id", F.explode(F.expr(_gram_expr(n))).alias("gram")
+    ).distinct()
+    gdf = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("gram_docs")
+    )
+    per_doc = (
+        grams.join(gdf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("gram_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("shared_grams"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("shared_grams", F.lit(0))
+            .cast("bigint")
+            .alias("shared_grams"),
+            F.round(
+                F.coalesce("shared_grams", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(1)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+SQL_DUP_NGRAM_FRAC = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id, gram
+      FROM (SELECT doc_id, {_gram_duck(_DUPGRAM_N)} AS gram FROM t)),
+c AS (SELECT gram, count(DISTINCT doc_id) AS gram_docs FROM g GROUP BY gram),
+p AS (SELECT g.doc_id,
+             count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN c.gram_docs > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS shared_grams
+      FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+SELECT t.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.shared_grams, 0)::BIGINT AS shared_grams,
+       round(coalesce(p.shared_grams, 0)
+             / greatest(coalesce(p.n_grams, 1), 1)::DOUBLE, 6) AS dup_frac
+FROM t LEFT JOIN p USING (doc_id)
+"""
+
+
+_DECON_N = 4
+_DECON_EVAL_MOD = 97
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the n-gram-overlap protocol of GPT-3
+    appx. C / PaLM / Llama eval hygiene): flag every TRAINING doc that
+    shares any 4-gram with the held-out EVAL set (deterministically
+    designated here as ``doc_id % 97 == 0`` — the driver corpus carries
+    no separate benchmark table). Scale shape: the eval side is tiny by
+    construction (1/97 of the corpus), so its distinct-gram set is
+    BROADCAST; the training side streams through one explode + broadcast
+    left-semi probe and one per-doc aggregation — no shuffle of the
+    corpus on the gram key and never an all-pairs comparison."""
+    n = _DECON_N
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    grams = d.select(
+        "doc_id", F.explode(F.expr(_gram_expr(n))).alias("gram")
+    )
+    eval_grams = (
+        grams.where(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = grams.where(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hit_grams"))
+    )
+    return (
+        d.where(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit_grams", F.lit(0))
+            .cast("bigint")
+            .alias("hit_grams"),
+            (F.coalesce("hit_grams", F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, gram
+      FROM (SELECT doc_id, {_gram_duck(_DECON_N)} AS gram FROM t)),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+h AS (SELECT doc_id, count(*)::BIGINT AS hit_grams
+      FROM g JOIN ev USING (gram)
+      WHERE doc_id % {_DECON_EVAL_MOD} <> 0 GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(h.hit_grams, 0)::BIGINT AS hit_grams,
+       (coalesce(h.hit_grams, 0) > 0)::INT AS contaminated
+FROM t LEFT JOIN h USING (doc_id)
+WHERE t.doc_id % {_DECON_EVAL_MOD} <> 0
+"""
+
+
+# PII patterns kept inside the RE2 ∩ java.util.regex common dialect
+# (no lookaround, no backrefs) so Spark and DuckDB compile them
+# identically; replacements are plain strings (no group substitution —
+# Spark writes $1 where DuckDB writes \\1, so none are used).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\b555-[0-9]{4}\\b"
+
+# the driver corpus is a clean synthetic word stream, so the PII surface
+# is derived DETERMINISTICALLY from each row (same concat on both
+# engines) — the scrubber then has real matches to find
+_PII_AUG_SPARK = (
+    "concat(text, ' contact user', cast(doc_id as string), '@mail-', source,"
+    " '.com or ', cast(10 + doc_id % 90 as string), '.',"
+    " cast(doc_id % 256 as string), '.', cast((doc_id * 7) % 256 as string),"
+    " '.', cast((doc_id * 13) % 256 as string),"
+    " ' tel 555-', lpad(cast((doc_id * 31) % 10000 as string), 4, '0'))"
+)
+_PII_AUG_DUCK = (
+    "text || ' contact user' || doc_id::VARCHAR || '@mail-' || source"
+    " || '.com or ' || (10 + doc_id % 90)::VARCHAR || '.'"
+    " || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR"
+    " || '.' || ((doc_id * 13) % 256)::VARCHAR"
+    " || ' tel 555-' || lpad(((doc_id * 31) % 10000)::VARCHAR, 4, '0')"
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing — the pre-training redaction pass (C4 / FineWeb run
+    the same shape): count then replace emails, IPv4s and phone numbers
+    with typed placeholders. Pure scan-stage column expressions (three
+    regexp passes per row, zero shuffle, zero UDF); the scrubbed text is
+    emitted as an md5 signature so the oracle hash-checks the EXACT
+    redacted bytes, not just the counts."""
+    aug = F.expr(_PII_AUG_SPARK)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_IP), 0))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_sig"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(aug, '{_PII_IP}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(aug, '{_PII_PHONE}'))::BIGINT AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(aug,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_sig
+FROM (SELECT doc_id, {_PII_AUG_DUCK} AS aug FROM documents) t
+"""
+
+
+_BM25_TERMS = ["spark", "hash", "window"]
+_BM25_K = 20
+# k1 = 1.2, b = 0.75 cleared to integers: tf_norm = 22·tf·S /
+# (10·S·tf + 3·S + 9·dl·N) where S = Σdl, N = |docs| (exact rational)
+_BM25_IDF_SCALE = 1000
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson–Spärck Jones, the ES-default
+    scoring the reference's search tier uses — elastic_search.go:74-120)
+    for a fixed 3-term query, made INTEGER-EXACT so both engines rank
+    identically: the log idf is replaced by the rational surrogate
+    idf_q = ⌊(N − df + 1)·1000 / (df + 1)⌋ (order-isomorphic to the RSJ
+    idf) and the k1=1.2, b=0.75 tf-normalization is cleared of
+    denominators — contrib = ⌊idf_q · 22·tf·S / (10·S·tf + 3·S +
+    9·dl·N)⌋ over BIGINTs (DECIMAL(38) is the documented escape hatch
+    past ~10^9-token corpora). Scale shape: one 1-row stats aggregate
+    and one |terms|-row df aggregate, both broadcast; per-doc tf comes
+    from a higher-order filter on the already-split token array (no
+    explode of the corpus); one groupBy(doc_id) sum; TakeOrdered top-K
+    with a deterministic (score desc, doc_id) tiebreak."""
+    terms = _BM25_TERMS
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).withColumn("dl", F.size("ws").cast("bigint"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    term_lit = ", ".join(f"'{t}'" for t in terms)
+    dfreq = (
+        d.select(
+            F.explode(
+                F.array_intersect(
+                    F.array_distinct("ws"), F.expr(f"array({term_lit})")
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    scored = (
+        d.crossJoin(F.broadcast(dfreq.crossJoin(stats)))
+        .withColumn(
+            "tf", F.expr("cast(size(filter(ws, w -> w = term)) as bigint)")
+        )
+        .where(F.col("tf") > 0)
+        .withColumn(
+            "idf_q",
+            F.expr(
+                f"(n_docs - df + 1) * {_BM25_IDF_SCALE} div (df + 1)"
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                "idf_q * (22 * tf * sum_dl) div "
+                "(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_K)
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                  len(string_split(text, ' '))::BIGINT AS dl
+           FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+          FROM d),
+q AS (SELECT unnest([{", ".join(repr(t) for t in _BM25_TERMS)}]) AS term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df
+          FROM d, q
+          WHERE list_contains(ws, term) GROUP BY term),
+scored AS (
+  SELECT d.doc_id,
+         ((n_docs - df + 1) * {_BM25_IDF_SCALE} // (df + 1))
+         * (22 * tf * sum_dl)
+         // (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs) AS contrib
+  FROM d, dfreq, stats,
+       LATERAL (SELECT len(list_filter(ws, w -> w = term))::BIGINT AS tf)
+  WHERE tf > 0)
+SELECT doc_id, sum(contrib)::BIGINT AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+# messy-URL surface derived deterministically from each row (the driver
+# corpus has no url column); four case branches exercise fragment,
+# trailing-slash, tracking-params and bare variants
+_URL_RAW_SPARK = (
+    "concat('HTTP://WWW.Src', cast(doc_id % 20 as string),"
+    " '.Example.com:80/path/d', cast(doc_id % 50 as string),"
+    " CASE cast(doc_id % 4 as int)"
+    " WHEN 0 THEN '?utm_source=feed&ref=rss'"
+    " WHEN 1 THEN '/' WHEN 2 THEN '#frag' ELSE '' END)"
+)
+_URL_RAW_DUCK = (
+    "'HTTP://WWW.Src' || (doc_id % 20)::VARCHAR"
+    " || '.Example.com:80/path/d' || (doc_id % 50)::VARCHAR"
+    " || CASE doc_id % 4"
+    " WHEN 0 THEN '?utm_source=feed&ref=rss'"
+    " WHEN 1 THEN '/' WHEN 2 THEN '#frag' ELSE '' END"
+)
+
+
+# the canonicalization chain lives in urlutil (shared with the engine's
+# CrawlConfig.canonical_keys frontier-ingress rewrite); this alias keeps
+# the query/oracle pair and its tests reading naturally
+from owlfrontier.urlutil import canonical_url_sql as _canon_steps
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + dedup — the frontier-normalization pass a
+    web-scale pipeline runs BEFORE the seen-gate (the reference
+    deliberately never normalizes — parse.go:88-131 stores hrefs
+    verbatim — so variant URLs crawl twice there; this is the fix a
+    Common-Crawl-scale frontier needs). Canonical form: fragment
+    stripped, scheme+host lowercased (path case preserved), default
+    port and www. dropped, utm_*/ref tracking params removed, trailing
+    slash trimmed. Pure scan-stage string expressions, then ONE
+    groupBy(canonical_url): count of raw variants + min doc_id as the
+    canonical representative (first-wins, map-side combinable)."""
+    raw = _URL_RAW_SPARK
+    canon = _canon_steps(raw, "spark")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", F.expr(canon).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("rep_id"),
+        )
+    )
+
+
+SQL_URL_CANONICAL_DEDUP = f"""
+SELECT canonical_url, count(*)::BIGINT AS n_variants,
+       min(doc_id)::BIGINT AS rep_id
+FROM (SELECT doc_id, {_canon_steps(_URL_RAW_DUCK, "duck")} AS canonical_url
+      FROM documents) t
+GROUP BY canonical_url
+"""
+
+
+_PACK_CHUNK = 2048
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (concatenate-and-chunk, the GPT-style
+    pre-training layout): assign every doc its global token offset in
+    doc_id order and the 2048-token chunk it lands in. The offset is an
+    EXCLUSIVE prefix sum computed by the distributed two-job
+    range-partition pattern (:func:`owlfrontier.ordering.
+    with_running_total`) — a global ``SUM() OVER (ORDER BY …)`` window
+    collapses to ONE partition and is a non-starter for a 10^10-doc
+    corpus; here each partition adds a driver-computed base offset to
+    its local cumsum (the oracle DOES use the window — DuckDB is the
+    small-scale referee, not the scale model)."""
+    from owlfrontier.ordering import with_running_total
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("n_tok"),
+    )
+    packed = with_running_total(
+        d, ["doc_id"], "n_tok", out_col="tok_offset"
+    )
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        "tok_offset",
+        F.expr(f"tok_offset div {_PACK_CHUNK}").alias("chunk_id"),
+        F.expr(
+            f"cast((tok_offset + n_tok - 1) div {_PACK_CHUNK} "
+            f"> tok_offset div {_PACK_CHUNK} as int)"
+        ).alias("spans_boundary"),
+    )
+
+
+def q_ann_dedup_clusters(spark, sf_dir):
+    """Embedding near-dup dedup END-TO-END — pairs → components → keep
+    decision, mirroring what `dedup_clusters` does for the MinHash text
+    path: connected components over the banded-LSH candidate graph
+    (:func:`q_ann_lsh_pairs_banded`, the recall-contracted production
+    pair generator), every vector labeled with the smallest vec_id in
+    its component (cluster_id == vec_id ⇒ the kept representative).
+    Scale shape inherits from both stages: banded bucket self-join for
+    pairs (never all-pairs), then diameter-bounded label propagation —
+    one |E|-row equi-join + groupBy-min per round
+    (:mod:`owlfrontier.graph`)."""
+    from owlfrontier.graph import connected_components
+
+    pairs = q_ann_lsh_pairs_banded(spark, sf_dir)
+    nodes = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"))
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    return connected_components(nodes, edges, mode="label").select(
+        F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
+SQL_ANN_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS ({SQL_ANN_LSH_PAIRS_BANDED}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM pairs),
+reach(root, node) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT root AS vec_id, min(node)::BIGINT AS cluster_id
+FROM reach GROUP BY root
+"""
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (SELECT doc_id,
+                  len(string_split(text, ' '))::BIGINT AS n_tok
+           FROM documents),
+p AS (SELECT doc_id, n_tok,
+             (sum(n_tok) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok)::BIGINT
+               AS tok_offset
+      FROM d)
+SELECT doc_id, n_tok, tok_offset,
+       tok_offset // {_PACK_CHUNK} AS chunk_id,
+       ((tok_offset + n_tok - 1) // {_PACK_CHUNK}
+        > tok_offset // {_PACK_CHUNK})::INT AS spans_boundary
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2490,6 +2967,13 @@ QUERIES = {
     "stats_rollup": q_stats_rollup,
     "events_daily": q_events_daily,
     "props_json": q_props_json,
+    "dup_ngram_frac": q_dup_ngram_frac,
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "bm25_topk": q_bm25_topk,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "pack_sequences": q_pack_sequences,
+    "ann_dedup_clusters": q_ann_dedup_clusters,
 }
 
 ORACLE = {
@@ -2535,4 +3019,11 @@ ORACLE = {
     "stats_rollup": SQL_STATS_ROLLUP,
     "events_daily": SQL_EVENTS_DAILY,
     "props_json": SQL_PROPS_JSON,
+    "dup_ngram_frac": SQL_DUP_NGRAM_FRAC,
+    "decontaminate": SQL_DECONTAMINATE,
+    "pii_scrub": SQL_PII_SCRUB,
+    "bm25_topk": SQL_BM25_TOPK,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "ann_dedup_clusters": SQL_ANN_DEDUP_CLUSTERS,
 }

@@ -885,3 +885,94 @@ def test_robots_from_pages_gates_crawl(spark, tmp_path):
     seen = {r["url"] for r in engine.crawled().collect()}
     assert "http://a.example/ok" in seen
     assert "http://a.example/priv/x" not in seen
+
+
+def test_canonical_keys_collapses_variant_urls(spark, tmp_path):
+    """CrawlConfig.canonical_keys (north_rule: seen set keyed on
+    CANONICALIZED urls): variant spellings of a page — www./case, :80,
+    fragment, trailing slash, utm_*/ref params — collapse to ONE
+    frontier identity at ingress (seeds and discovered links), so they
+    fetch, dedup and crawl exactly once. With the knob off (the
+    reference-faithful default, parse.go:88-131 stores hrefs verbatim)
+    none of the variant spellings match the store keys and only the
+    seed page crawls."""
+    pages = {
+        "http://a.example/p0": (
+            '<a href="//WWW.A.Example:80/p1?utm_source=x">v1</a>'
+            '<a href="/p1#frag">v2</a>'
+            '<a href="/p1/">v3</a>'
+            '<a href="/p2?utm_source=f&amp;ref=rss">v4</a>'
+        ),
+        "http://a.example/p1": '<a href="/p2">w</a>',
+        "http://a.example/p2": "<p>done</p>",
+    }
+    messy_seed = ["http://WWW.A.Example:80/p0#top"]
+
+    _, off_summary = _run(spark, tmp_path / "off", pages, messy_seed)
+    assert off_summary["crawled"] == 0  # even the seed spelling misses
+
+    engine, summary = _run(
+        spark, tmp_path / "on", pages, messy_seed, canonical_keys=True
+    )
+    assert summary["crawled"] == 3
+    order = _order_rows(engine)
+    assert [u for _, _, u in order] == [
+        "http://a.example/p0",
+        "http://a.example/p1",
+        "http://a.example/p2",
+    ]
+    # p1's three variants first-wins-merged on the FIRST href's position;
+    # p2 discovered from p0 (earlier than via p1)
+    parents = {
+        r["url"]: r["discovered_from"]
+        for r in engine.crawled().collect()
+    }
+    assert parents["http://a.example/p1"] == "http://a.example/p0"
+    assert parents["http://a.example/p2"] == "http://a.example/p0"
+    # every crawled row keyed canonically, exactly once
+    urls = [r["url"] for r in engine.crawled().collect()]
+    assert len(urls) == len(set(urls)) == 3
+
+
+def test_canonical_ingress_is_identity_when_off(spark, tmp_path):
+    """Knob off ⇒ _canonical_ingress returns the SAME DataFrame object —
+    the reference-equivalence (and scaling-pin) plan is untouched."""
+    from owlfrontier.crawler import CrawlConfig, CrawlEngine
+
+    engine = CrawlEngine(
+        spark,
+        _mini_pages(spark, {"http://a.example/p0": "x"}),
+        str(tmp_path / "store"),
+        config=CrawlConfig(use_bloom=False),
+    )
+    df = _mini_pages(spark, {"http://a.example/p0": "x"})
+    assert engine._canonical_ingress(df) is df
+
+
+def test_canonicalize_pages_dedupes_store_first_wins(spark):
+    """The ingestion helper keeps ONE row per canonical url — earliest
+    warc_ts wins, raw-url tiebreak — so a canonical-keys fetch join can
+    never fan out on duplicate captures."""
+    import datetime as dt
+
+    from owlfrontier.crawler import CrawlEngine
+
+    rows = [
+        ("http://WWW.A.Example:80/p1?utm_source=x",
+         dt.datetime(2026, 1, 2), b"late", None, "en"),
+        ("http://a.example/p1#frag",
+         dt.datetime(2026, 1, 1), b"early", None, "en"),
+        ("http://a.example/p2/",
+         dt.datetime(2026, 1, 3), b"only", None, "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {
+        r["url"]: (bytes(r["html"]), r["warc_ts"])
+        for r in CrawlEngine.canonicalize_pages(pages).collect()
+    }
+    assert set(got) == {"http://a.example/p1", "http://a.example/p2"}
+    assert got["http://a.example/p1"][0] == b"early"
+    assert got["http://a.example/p2"][0] == b"only"

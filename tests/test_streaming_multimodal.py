@@ -90,6 +90,47 @@ def test_order_preserving_seq_matches_global_sort(spark):
     )
 
 
+def test_running_total_matches_global_window(spark):
+    """ordering.with_running_total == SUM() OVER (ORDER BY …) computed on
+    one partition, for both exclusive and inclusive prefix sums, on a
+    skewed value column across uneven partitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from owlfrontier.ordering import with_running_total
+
+    df = spark.range(0, 400, 1, 7).select(
+        (F.col("id") * 7919 % 400).alias("k"),
+        (F.col("id") % 13 * F.col("id") % 97 + 1).alias("v"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["run"]
+        for r in df.withColumn(
+            "run", (F.sum("v").over(w) - F.col("v")).cast("long")
+        ).collect()
+    }
+    got = with_running_total(df, ["k"], "v", out_col="run").collect()
+    assert {r["k"]: r["run"] for r in got} == want
+    want_inc = {k: v for k, v in want.items()}
+    got_inc = with_running_total(
+        df, ["k"], "v", out_col="run", exclusive=False
+    ).collect()
+    by_k = {r["k"]: (r["run"], r["v"]) for r in got_inc}
+    assert {k: run - v for k, (run, v) in by_k.items()} == want_inc
+    # more partitions than rows: empty range partitions must not skew
+    tiny = spark.range(0, 3, 1, 1).select(
+        F.col("id").alias("k"), F.lit(5).alias("v")
+    )
+    rows = sorted(
+        (r["k"], r["run"])
+        for r in with_running_total(
+            tiny, ["k"], "v", out_col="run", partitions=8
+        ).collect()
+    )
+    assert rows == [(0, 0), (1, 5), (2, 10)]
+
+
 def test_seed_frontier_distributed_matches_seed_list(spark, tmp_path):
     """SeedIngest.seed_frontier() (distributed) orders seeds identically to
     the driver-side seed_list()."""
@@ -204,9 +245,16 @@ def test_image_pipeline_real_bmp_through_spark(spark):
 
 
 def test_decode_stub_raises_without_fake():
-    # TIFF magic: a real format the native codecs don't cover
+    # lossy-VP8 WebP: the recorded codec cut (COVERAGE.md codec scope) —
+    # must raise loudly, never fall back silently. (TIFF magic used to be
+    # the "uncovered format" here until round 5 made TIFF a real codec.)
+    lossy = b"RIFF" + (12).to_bytes(4, "little") + b"WEBP" \
+        + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
     with pytest.raises(NotImplementedError):
-        decode_image(b"II*\x00restoffile")
+        decode_image(lossy)
+    # unknown magic entirely
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00notaformat")
 
 
 def test_png_decode_real():
