@@ -2918,6 +2918,143 @@ FROM p
 """
 
 
+_SESSION_GAP_SEC = 1800
+
+
+def q_sessionize(spark, sf_dir):
+    """Event sessionization (the click-stream staple): a user's events
+    split into sessions at >30-min gaps; one output row per session
+    with its bounds and size. Scale shape: ONE shuffle on user_id —
+    the session-boundary lag, the session-index running count and the
+    final per-session aggregation all share the same partitioning, so
+    Catalyst plans a single exchange; boundaries are integer-exact
+    (epoch-second arithmetic, (ts, event_id) total order)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    # epoch seconds via unix_seconds (the parquet ts is NTZ; session tz
+    # is pinned UTC on both engines, so this equals DuckDB's epoch(ts))
+    epoch = F.unix_seconds(F.col("ts").cast("timestamp"))
+    marked = e.withColumn(
+        "new_sess",
+        F.when(epoch - F.lag(epoch).over(w) > _SESSION_GAP_SEC, 1)
+        .otherwise(0)
+        .cast("bigint"),
+    ).withColumn(
+        "sess_idx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return marked.groupBy("user_id", "sess_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts)::BIGINT
+                   - lag(epoch(ts)::BIGINT)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {_SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END::BIGINT AS new_sess
+  FROM events),
+s AS (SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_idx
+      FROM m)
+SELECT user_id, sess_idx, count(*)::BIGINT AS n_events,
+       min(ts) AS sess_start, max(ts) AS sess_end
+FROM s GROUP BY user_id, sess_idx
+"""
+
+
+def q_source_rollup(spark, sf_dir):
+    """Per-source corpus health rollup (the FineWeb per-domain filter
+    input: which sources are worth keeping): doc counts, token mass,
+    exact-dup rate inside the source, language spread. ONE
+    groupBy(source) over scan-stage expressions; the dup rate reuses
+    the portable md5 identity entirely inside the aggregation
+    (count distinct text-hash vs count), integer-exact with a rounded
+    final ratio."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "lang",
+        F.md5("text").alias("th"),
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("toks"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("sum_tokens"),
+        F.countDistinct("th").cast("bigint").alias("n_unique_texts"),
+        F.round(
+            1
+            - F.countDistinct("th") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+SQL_SOURCE_ROLLUP = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens,
+       count(DISTINCT md5(text))::BIGINT AS n_unique_texts,
+       round(1 - count(DISTINCT md5(text)) / count(*)::DOUBLE, 6)
+         AS dup_frac,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+_BPE_TOPK = 25
+
+
+def q_bpe_merge_pairs(spark, sf_dir):
+    """The first iteration of BPE training: corpus-wide adjacent
+    character-pair frequencies (the statistic each merge step maximizes
+    — Sennrich et al. 2016). Scale shape mirrors vocab_topk: explode
+    words → explode in-word char bigrams → ONE partial+final hash agg
+    (map-side combine absorbs the hot pairs) → TakeOrdered top-K with a
+    deterministic (count desc, pair asc) boundary. A full BPE trainer
+    iterates this query against an updating symbol table; each
+    iteration stays this exact shape."""
+    pairs = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_TOPK)
+    )
+
+
+SQL_BPE_MERGE_PAIRS = f"""
+SELECT pair, count(*)::BIGINT AS cnt
+FROM (
+  SELECT unnest([w[i:i+1] for i in generate_series(1, len(w) - 1)]) AS pair
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2)
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {_BPE_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2974,6 +3111,9 @@ QUERIES = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "pack_sequences": q_pack_sequences,
     "ann_dedup_clusters": q_ann_dedup_clusters,
+    "sessionize": q_sessionize,
+    "source_rollup": q_source_rollup,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
 }
 
 ORACLE = {
@@ -3026,4 +3166,7 @@ ORACLE = {
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "ann_dedup_clusters": SQL_ANN_DEDUP_CLUSTERS,
+    "sessionize": SQL_SESSIONIZE,
+    "source_rollup": SQL_SOURCE_ROLLUP,
+    "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
 }

@@ -274,3 +274,52 @@ def test_bm25_score_is_tf_and_length_sensitive(spark):
         return sum(docs[d].count(t) for t in Q._BM25_TERMS)
     # every ranked doc actually contains query terms
     assert all(qmass(r["doc_id"]) > 0 for r in rows)
+
+
+def test_sessionize_gap_invariants_and_single_exchange(spark):
+    """Consecutive sessions of a user are separated by > the gap;
+    events inside a session never straddle a gap; and the whole op
+    plans ONE shuffle (window + running count + final agg all share the
+    user_id partitioning)."""
+    from owlfrontier import queries as Q
+
+    rows = Q.q_sessionize(spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert sum(len(v) for v in by_user.values()) == len(rows)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r["sess_idx"])
+        assert [r["sess_idx"] for r in sess] == list(range(len(sess)))
+        for a, b in zip(sess, sess[1:]):
+            gap = (b["sess_start"] - a["sess_end"]).total_seconds()
+            assert gap > Q._SESSION_GAP_SEC
+        for r in sess:
+            assert r["sess_start"] <= r["sess_end"]
+    plan = Q.q_sessionize(spark, SF_DIR)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bpe_merge_pairs_matches_local_count(spark):
+    """Top-K char-pair counts equal a local brute-force recount."""
+    from collections import Counter
+
+    from owlfrontier import queries as Q
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ]
+    c = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:Q._BPE_TOPK]
+    got = [(r["pair"], r["cnt"])
+           for r in Q.q_bpe_merge_pairs(spark, SF_DIR).collect()]
+    assert got == want
