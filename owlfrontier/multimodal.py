@@ -2819,6 +2819,40 @@ def resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def synthetic_media_payload(media_id: int) -> bytes:
+    """Deterministic mixed-format image payload for ``media_id``: an 8×8
+    RGB image derived from sha256(media_id), containered by
+    ``media_id % 6`` — BMP (0), PNG (1), GIF ≤256-color-quantized (2),
+    baseline JPEG (3), lossless WebP (4), TIFF-LZW+predictor (5).
+
+    The ONE definition shared by ``q_multimodal_features`` and
+    ``q_multimodal_manifest`` (round-5 review): the manifest's DuckDB
+    oracle reconstructs these exact pixels arithmetically from the
+    doc_id recipe, so the two queries must exercise the identical
+    corpus — a constant drifting in one copy but not the other would
+    silently decouple the rows-only pipeline from its oracle-paired
+    half."""
+    import hashlib
+
+    digest = hashlib.sha256(str(int(media_id)).encode()).digest()
+    img = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8).reshape(
+        8, 8, 3
+    )
+    m = int(media_id) % 6
+    if m == 0:
+        return encode_bmp(img)
+    if m == 1:
+        return encode_png(img)
+    if m == 2:
+        # GIF needs ≤256 colors: quantize to the high 3 bits
+        return encode_gif([(img >> 5) << 5])
+    if m == 3:
+        return encode_jpeg(img)
+    if m == 4:
+        return encode_webp_lossless(img)
+    return encode_tiff(img, compression="lzw", predictor=2)
+
+
 def image_feature_pipeline(df, thumb: tuple[int, int] = (4, 4), fake: bool = True):
     """media DataFrame → per-image features via ``mapInPandas`` (Arrow
     batches; one Python worker pass, no per-row JVM round-trips).

@@ -642,23 +642,38 @@ def _cent_literal(cents: list[list[int]]) -> str:
     )
 
 
-def _emb_dim(e) -> int:
+# (table path → validated dim): the uniformity check is ONE agg scan of
+# the embeddings table — sound but not free on a 10^8-row corpus, and
+# four ANN entry points call it; callers reading a known parquet table
+# pass its path as `cache_key` so each table is validated once per
+# session, not once per query (round-5 review). Ad-hoc DataFrames pass
+# no key and are always re-checked (a plan-derived key is NOT safe:
+# canonicalized LocalRelation plans elide their data).
+_EMB_DIM_CACHE: dict[str, int] = {}
+
+
+def _emb_dim(e, cache_key: str | None = None) -> int:
     """Embedding dimensionality, asserted UNIFORM across the table (one
-    small agg job, same cost as the first()-probe it replaces). A silent
+    agg scan — the sound check a first()-row probe can't give; cached
+    per table path so repeated ANN queries don't rescan). A silent
     size filter here would diverge from the DuckDB oracles, which apply
     none (ADVICE r4): a mixed-dim corpus now fails loudly on both paths
     instead of quietly disagreeing."""
+    if cache_key is not None and cache_key in _EMB_DIM_CACHE:
+        return _EMB_DIM_CACHE[cache_key]
     row = e.select(
         F.min(F.size("embedding")).alias("lo"),
         F.max(F.size("embedding")).alias("hi"),
     ).first()
     if row is None or row["lo"] is None:
-        return 0
+        return 0  # empty tables are not cached: they may be written to
     if row["lo"] != row["hi"]:
         raise ValueError(
             f"mixed embedding dims ({row['lo']}..{row['hi']}) unsupported: "
             "LSH planes and quantized folds assume a uniform dimension"
         )
+    if cache_key is not None:
+        _EMB_DIM_CACHE[cache_key] = row["lo"]
     return row["lo"]
 
 
@@ -667,7 +682,7 @@ def _quantized_embeddings(spark, sf_dir):
     micro-units so every distance/mean is associative and bit-identical
     at any cluster size (shared by the IVF training variants)."""
     e = _emb(spark, sf_dir)
-    dim = _emb_dim(e)
+    dim = _emb_dim(e, cache_key=f"{sf_dir}/embeddings.parquet")
     quant = _spread(e).select(
         "vec_id",
         F.expr(
@@ -1193,7 +1208,7 @@ def q_ann_lsh_buckets(spark, sf_dir):
     embeddings (asserted uniform by _emb_dim), the norm for embedding
     tables."""
     e = _emb(spark, sf_dir)
-    dim = _emb_dim(e)
+    dim = _emb_dim(e, cache_key=f"{sf_dir}/embeddings.parquet")
     quant = _spread(e).select(
         "vec_id",
         F.expr(
@@ -1241,7 +1256,7 @@ def q_ann_lsh_pairs(spark, sf_dir):
     The bucketed table is materialized once (localCheckpoint) because both
     self-join sides read it."""
     e = _emb(spark, sf_dir)
-    dim = _emb_dim(e)
+    dim = _emb_dim(e, cache_key=f"{sf_dir}/embeddings.parquet")
     quant = _spread(e).select(
         "vec_id",
         F.expr(
@@ -1330,7 +1345,7 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
     with a groupBy BEFORE the exact-cosine filter, so each candidate pair
     is scored once. Never all-pairs."""
     e = _emb(spark, sf_dir)
-    dim = _emb_dim(e)
+    dim = _emb_dim(e, cache_key=f"{sf_dir}/embeddings.parquet")
     quant = _spread(e).select(
         "vec_id",
         F.expr(
@@ -2073,49 +2088,19 @@ def q_multimodal_features(spark, sf_dir):
     codecs inside the ``mapInPandas`` feature pipeline (multimodal.py),
     exercising a mixed-format media column the way a real crawl store
     carries one."""
-    import hashlib as _hl
-
-    from owlfrontier.multimodal import (
-        encode_bmp,
-        encode_gif,
-        encode_jpeg,
-        encode_png,
-        encode_tiff,
-        encode_webp_lossless,
-        image_feature_pipeline,
-    )
+    from owlfrontier.multimodal import image_feature_pipeline
 
     docs = _spread(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("bigint").alias("media_id")
     )
 
     def gen(it):
-        import numpy as np
         import pandas as pd
 
+        from owlfrontier.multimodal import synthetic_media_payload
+
         for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                digest = _hl.sha256(str(int(mid)).encode()).digest()
-                img = np.frombuffer(
-                    (digest * 6)[: 8 * 8 * 3], dtype=np.uint8
-                ).reshape(8, 8, 3)
-                m = int(mid) % 6
-                if m == 0:
-                    payloads.append(encode_bmp(img))
-                elif m == 1:
-                    payloads.append(encode_png(img))
-                elif m == 2:
-                    # GIF needs ≤256 colors: quantize to the high 3 bits
-                    payloads.append(encode_gif([(img >> 5) << 5]))
-                elif m == 3:
-                    payloads.append(encode_jpeg(img))
-                elif m == 4:
-                    payloads.append(encode_webp_lossless(img))
-                else:
-                    payloads.append(
-                        encode_tiff(img, compression="lzw", predictor=2)
-                    )
+            payloads = [synthetic_media_payload(mid) for mid in pdf["media_id"]]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
@@ -2177,45 +2162,19 @@ def q_multimodal_manifest(spark, sf_dir):
     SQL-expressible (it stays pytest-pinned in q_multimodal_features).
     A wrong decoder, wrong encoder routing, or wrong compositing shows
     up as a hash mismatch here."""
-    import hashlib as _hl
-
-    from owlfrontier.multimodal import (
-        encode_bmp,
-        encode_gif,
-        encode_png,
-        encode_tiff,
-        encode_webp_lossless,
-        image_content_manifest,
-    )
+    from owlfrontier.multimodal import image_content_manifest
 
     docs = _spread(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("bigint").alias("media_id")
     ).where(F.col("media_id") % 6 != 3)  # JPEG rows: lossy, not SQL-able
 
     def gen(it):
-        import numpy as np
         import pandas as pd
 
+        from owlfrontier.multimodal import synthetic_media_payload
+
         for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                digest = _hl.sha256(str(int(mid)).encode()).digest()
-                img = np.frombuffer(
-                    (digest * 6)[: 8 * 8 * 3], dtype=np.uint8
-                ).reshape(8, 8, 3)
-                m = int(mid) % 6
-                if m == 0:
-                    payloads.append(encode_bmp(img))
-                elif m == 1:
-                    payloads.append(encode_png(img))
-                elif m == 2:
-                    payloads.append(encode_gif([(img >> 5) << 5]))
-                elif m == 4:
-                    payloads.append(encode_webp_lossless(img))
-                else:
-                    payloads.append(
-                        encode_tiff(img, compression="lzw", predictor=2)
-                    )
+            payloads = [synthetic_media_payload(mid) for mid in pdf["media_id"]]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )

@@ -323,3 +323,58 @@ def test_bpe_merge_pairs_matches_local_count(spark):
     got = [(r["pair"], r["cnt"])
            for r in Q.q_bpe_merge_pairs(spark, SF_DIR).collect()]
     assert got == want
+
+
+CANON_CASES = [
+    # (input, expected) — incl. the round-5 review's confirmed failures
+    ("http://example.com/path:80/foo", "http://example.com/path:80/foo"),
+    ("http://h/score?a=1:80", "http://h/score?a=1:80"),
+    ("https://example.com:80/x", "https://example.com:80/x"),
+    ("https://example.com:443/x", "https://example.com/x"),
+    ("http://h/a&utm_b=c", "http://h/a&utm_b=c"),
+    ("http://h/p?utm_source=x&page=2", "http://h/p?page=2"),
+    ("http://h/p?page=2&utm_source=x&ref=rss", "http://h/p?page=2"),
+    ("mailto:someone@x.com", "mailto:someone@x.com"),
+    ("not-a-url", "not-a-url"),
+    ("HTTP://WWW.A.Example:80/p1?utm_source=x", "http://a.example/p1"),
+    ("http://a.example/p1#frag", "http://a.example/p1"),
+    ("http://a.example/p1/", "http://a.example/p1"),
+    ("http://a.example/p1//", "http://a.example/p1"),
+    ("http://h", "http://h"),
+    ("http://h/?utm_source=x", "http://h"),
+    ("http://h/p?a=1&b=2", "http://h/p?a=1&b=2"),
+    ("http://User@H.com/Path", "http://user@h.com/Path"),
+    ("http://h?a=1", "http://h?a=1"),
+]
+
+
+def test_canonical_url_dialects_agree_on_adversarial_cases(spark):
+    """Both dialects of canonical_url_sql produce the pinned canonical
+    form on adversarial inputs: ':80' inside a path/query survives,
+    https keeps :80 / drops :443, '&utm_' in a PATH survives, a leading
+    utm param followed by a real param is removed, authority-less URLs
+    pass through unchanged (never collapse to ''), repeated trailing
+    slashes strip idempotently."""
+    import duckdb
+
+    from owlfrontier.urlutil import canonical_url_sql
+
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CANON_CASES)], "i int, u string"
+    )
+    got_spark = {
+        r["i"]: r["c"]
+        for r in sdf.select(
+            "i", F.expr(canonical_url_sql("u", "spark")).alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    dexpr = canonical_url_sql("u", "duck")
+    for i, (inp, want) in enumerate(CANON_CASES):
+        got_duck = con.execute(
+            f"SELECT {dexpr} FROM (SELECT ? AS u)", [inp]
+        ).fetchone()[0]
+        assert got_spark[i] == want, (inp, got_spark[i], want)
+        assert got_duck == want, (inp, got_duck, want)

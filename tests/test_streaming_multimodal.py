@@ -1153,3 +1153,48 @@ def test_webp_lz77_backward_reference_before_start_raises():
     bw.write_code(3, 2)
     with _pytest.raises(ValueError, match="before start"):
         decode_webp(_wrap_vp8l(b"\x2f" + bw.flush()))
+
+
+def test_sniff_mime_agrees_with_decoder_dispatch():
+    """Single-source-of-truth contract (round-5 review): for every
+    payload the synthetic media generators emit, and for WAV/FLAC,
+    sniff_mime's verdict must agree with which decoder accepts the
+    payload — adding a codec to decode_image/decode_audio without
+    teaching sniff_mime (or vice versa) fails here."""
+    import numpy as np
+
+    from owlfrontier.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_flac,
+        encode_wav,
+        sniff_mime,
+        synthetic_media_payload,
+    )
+
+    image_mimes = {
+        "image/bmp", "image/png", "image/gif", "image/jpeg",
+        "image/webp", "image/tiff",
+    }
+    seen = set()
+    for mid in range(12):  # two full rounds of the mod-6 routing
+        payload = synthetic_media_payload(mid)
+        mime = sniff_mime(payload)
+        assert mime in image_mimes, (mid, mime)
+        seen.add(mime)
+        img = decode_image(payload)  # the sniffed kind must decode
+        assert img.shape == (8, 8, 3)
+    assert seen == image_mimes  # every image codec exercised
+    pcm = np.array([[0, 1000], [-2, 7]], dtype=np.int16)
+    for payload, mime in (
+        (encode_wav(pcm, 8000), "audio/wav"),
+        (encode_flac(pcm, 8000), "audio/flac"),
+    ):
+        assert sniff_mime(payload) == mime
+        # decode_audio (mono float) must accept it; the pcm decoders
+        # must reproduce the exact samples
+        assert np.asarray(decode_audio(payload)).shape == (len(pcm),)
+    from owlfrontier.multimodal import decode_flac_pcm, decode_wav_pcm
+
+    assert (decode_wav_pcm(encode_wav(pcm, 8000))[0] == pcm).all()
+    assert (decode_flac_pcm(encode_flac(pcm, 8000))[0] == pcm).all()
