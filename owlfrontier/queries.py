@@ -3015,6 +3015,340 @@ LIMIT {_BPE_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions II: exact n-gram-Jaccard pairs (prefix-filtered),
+# cross-doc paragraph dedup, overlap chunking, domain-blocklist gate
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold τ = 1/2 kept as an exact rational so the verify
+# predicate is pure integer arithmetic on both engines.
+_JACC_NUM, _JACC_DEN = 1, 2
+_JACC_N = 3  # word n for the gram sets
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs over the WHOLE corpus — the
+    brief's "n-gram Jaccard" dedup family member, done exactly (MinHash
+    is its sketch; this is the ground truth at a threshold). All pairs
+    with Jaccard(distinct-3-gram sets) >= 1/2.
+
+    Scale shape — the prefix-filtering principle (Bayardo et al. WWW'07
+    / PPJoin): under ANY global total order on grams, two sets with
+    J >= t MUST share a gram among each side's first
+    ``|S| - ceil(t*|S|) + 1`` grams, so only those PREFIX grams are
+    exploded into the inverted index that generates candidates — at
+    t=1/2 that's ~half the explode volume, and crucially hot grams
+    deep in a doc's suffix never fan out at all. The global order here
+    is md5(gram) (ASCII hex: bytewise-identical ordering in Spark and
+    DuckDB), which also double-duties as gram-frequency scrambling —
+    stopword-ish hot grams land at random prefix positions instead of
+    every doc's prefix front. Candidates then verify EXACTLY via one
+    join back to the full sorted-digest arrays: intersection size by
+    ``array_intersect``, the τ gate as the integer predicate
+    ``DEN*inter >= NUM*union``. Never all-pairs; the only row
+    multiplication is the prefix explode."""
+    n = _JACC_N
+    d = (
+        _spread(_docs(spark, sf_dir))
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= n)  # cheap-column filter (see _shingles_expr)
+    )
+    # one sorted array of gram digests per doc; sa = |distinct grams|
+    sets = d.select(
+        "doc_id",
+        F.expr(
+            f"array_sort(array_distinct(transform({_gram_expr(n, 'ws')}, "
+            "g -> md5(g))))"
+        ).alias("hs"),
+    ).select("doc_id", "hs", F.size("hs").alias("sa"))
+    sets = sets.localCheckpoint(eager=False)  # shared by prefix + verify
+    # prefix length |S| - ceil(τ|S|) + 1; at τ=1/2 this is |S| div 2 + 1
+    plen = F.expr(
+        f"sa - cast(ceil({_JACC_NUM} * sa / {_JACC_DEN}) as int) + 1"
+    )
+    pref = sets.select(
+        "doc_id",
+        "sa",
+        F.explode(F.slice("hs", F.lit(1), plen)).alias("pk"),
+    )
+    # length filter (PPJoin): J >= τ implies τ·max(|A|,|B|) <= min(|A|,|B|)
+    # — prunes size-incompatible candidates BEFORE the distinct+verify
+    # without changing the result (the τ gate below subsumes it)
+    len_ok = _JACC_DEN * F.least(F.col("a.sa"), F.col("b.sa")) >= (
+        _JACC_NUM * F.greatest(F.col("a.sa"), F.col("b.sa"))
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), F.col("a.pk") == F.col("b.pk"))
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & len_ok)
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    va = sets.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hs").alias("ha"),
+        F.col("sa").alias("na"),
+    )
+    vb = sets.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("hs").alias("hb"),
+        F.col("sa").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.col("na") + F.col("nb") - inter
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .where(_JACC_DEN * inter >= _JACC_NUM * union)
+        .select(
+            "a_id",
+            "b_id",
+            inter.cast("bigint").alias("inter"),
+            union.cast("bigint").alias("union_sz"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def _jacc_grams_duck(n: int) -> str:
+    joined = "||' '||".join(f"ws[i + {k}]" for k in range(n))
+    return f"[{joined} for i in generate_series(1, len(ws) - {n - 1})]"
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= {_JACC_N}),
+s AS (SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+                 {_jacc_grams_duck(_JACC_N)}, g -> md5(g)))) AS hs
+      FROM t),
+z AS (SELECT doc_id, hs, len(hs) AS sa FROM s),
+p AS (SELECT doc_id,
+             unnest(hs[1 : (sa - ceil({_JACC_NUM} * sa / {_JACC_DEN})::INT
+                            + 1)]) AS pk
+      FROM z),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM p a JOIN p b ON a.pk = b.pk AND a.doc_id < b.doc_id),
+v AS (SELECT a_id, b_id,
+             len(list_intersect(za.hs, zb.hs))::BIGINT AS inter,
+             (za.sa + zb.sa - len(list_intersect(za.hs, zb.hs)))::BIGINT
+               AS union_sz
+      FROM cand JOIN z za ON za.doc_id = a_id
+                JOIN z zb ON zb.doc_id = b_id)
+SELECT a_id, b_id, inter, union_sz,
+       round(inter / union_sz::DOUBLE, 6) AS jaccard
+FROM v WHERE {_JACC_DEN} * inter >= {_JACC_NUM} * union_sz
+"""
+
+
+_PARA_WORDS = 8  # synthetic paragraph = 8-word block (the corpus is a
+# single-line word stream; real pages would split on blank lines)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Cross-document paragraph dedup (the FineWeb / CCNet line-level
+    pass): every repeated paragraph keeps only its FIRST occurrence in
+    (doc_id, position) order — including repeats inside one doc — and
+    each doc reports its scrubbed text as an md5 so the oracle checks
+    the EXACT reassembled bytes. Scale shape: explode blocks → ONE
+    map-side-combinable groupBy(block) min for the global winner (the
+    winner is encoded as one BIGINT ``doc_id * 2^20 + idx`` — integer
+    min instead of a struct min so both engines agree bit-for-bit;
+    2^20 bounds blocks/doc, i.e. docs under ~8M words) → join back →
+    per-doc reassembly groupBy. Nothing is pairwise; the dedup key is
+    the block itself."""
+    pw = _PARA_WORDS
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ws"))
+    blocks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(ws) - 1) div {pw}), "
+                f"b -> concat_ws(' ', slice(ws, b * {pw} + 1, {pw})))"
+            )
+        ).alias("idx", "block"),
+    )
+    winners = blocks.groupBy("block").agg(
+        F.min(F.col("doc_id") * (1 << 20) + F.col("idx")).alias("wkey")
+    )
+    kept = blocks.join(winners, "block").where(
+        F.col("doc_id") * (1 << 20) + F.col("idx") == F.col("wkey")
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_blocks"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(idx, block))), "
+                    "s -> s.block)"
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    totals = blocks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks")
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_blocks",
+            F.coalesce("kept_blocks", F.lit(0))
+            .cast("bigint")
+            .alias("kept_blocks"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT doc_id, i - 1 AS idx,
+             array_to_string(ws[(i - 1) * {_PARA_WORDS} + 1
+                               : i * {_PARA_WORDS}], ' ') AS block
+      FROM t, unnest(generate_series(
+               1, (len(ws) - 1) // {_PARA_WORDS} + 1)) AS u(i)),
+w AS (SELECT block, min(doc_id * {1 << 20} + idx) AS wkey
+      FROM b GROUP BY block),
+k AS (SELECT b.doc_id, b.idx, b.block FROM b JOIN w USING (block)
+      WHERE b.doc_id * {1 << 20} + b.idx = w.wkey),
+pd AS (SELECT doc_id, count(*)::BIGINT AS kept_blocks,
+              md5(string_agg(block, ' ' ORDER BY idx)) AS clean_md5
+       FROM k GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_blocks FROM b GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_blocks,
+       coalesce(pd.kept_blocks, 0)::BIGINT AS kept_blocks,
+       coalesce(pd.clean_md5, md5('')) AS clean_md5
+FROM tot LEFT JOIN pd USING (doc_id)
+"""
+
+
+# chunk/stride scaled to this corpus's ~25-word docs; a 512/384 RAG or
+# pre-training chunker is the same plan with different constants
+_CHUNK_TOK = 16
+_CHUNK_STRIDE = 12
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (the RAG / long-context
+    pre-training splitter): fixed-size windows with stride overlap,
+    last window clipped at the doc end, every token covered. Pure
+    scan-stage array expressions — ``sequence`` for the window starts,
+    ``slice`` per window, zero shuffle and zero UDF; the per-chunk md5
+    lets the oracle pin the exact chunk bytes."""
+    ch, st = _CHUNK_TOK, _CHUNK_STRIDE
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ws"))
+    # windows = (max(n - ch, 0) + st - 1) div st + 1  (>=1, covers all)
+    nc = F.expr(
+        f"(greatest(size(ws) - {ch}, 0) + {st - 1}) div {st} + 1"
+    )
+    return d.select(
+        "doc_id",
+        F.size("ws").alias("n"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (greatest(size(ws) - {ch}, 0) "
+                f"+ {st - 1}) div {st}), "
+                f"c -> concat_ws(' ', slice(ws, c * {st} + 1, {ch})))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(ch), F.col("n") - F.col("chunk_idx") * st)
+        .cast("bigint")
+        .alias("n_tok"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, len(ws) AS n, i AS chunk_idx,
+             array_to_string(ws[i * {_CHUNK_STRIDE} + 1
+                               : i * {_CHUNK_STRIDE} + {_CHUNK_TOK}], ' ')
+               AS chunk
+      FROM t, unnest(generate_series(
+               0, (greatest(len(ws) - {_CHUNK_TOK}, 0)
+                   + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE})) AS u(i))
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       least({_CHUNK_TOK}, n - chunk_idx * {_CHUNK_STRIDE})::BIGINT AS n_tok,
+       md5(chunk) AS chunk_md5
+FROM c
+"""
+
+
+# host surface derived deterministically per row (no url column in the
+# corpus); the blocklist mixes registrable-domain and exact-host entries
+_BLOCK_HOST_SPARK = (
+    "concat('h', cast(doc_id % 7 as string), '.',"
+    " CASE cast(doc_id % 3 as int) WHEN 0 THEN 'ads' WHEN 1 THEN 'cdn'"
+    " ELSE 'web' END, '.example.',"
+    " CASE cast(doc_id % 2 as int) WHEN 0 THEN 'com' ELSE 'org' END)"
+)
+_BLOCK_HOST_DUCK = (
+    "'h' || (doc_id % 7)::VARCHAR || '.'"
+    " || CASE doc_id % 3 WHEN 0 THEN 'ads' WHEN 1 THEN 'cdn'"
+    " ELSE 'web' END || '.example.'"
+    " || CASE doc_id % 2 WHEN 0 THEN 'com' ELSE 'org' END"
+)
+_BLOCKLIST = ["ads.example.com", "h3.cdn.example.org", "web.example.org"]
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """Domain-blocklist gate (the UT1/adult-list filter every web-corpus
+    pipeline runs): a doc is blocked when its host OR any parent domain
+    is listed — suffix semantics, so ``ads.example.com`` kills every
+    subdomain under it. Scale shape: each host explodes into its
+    dot-suffix chain (bounded by label count, ~4 rows/doc) and probes
+    the blocklist via one BROADCAST left-semi join — the corpus is
+    never shuffled on the host key and the blocklist (thousands of
+    rows in production) stays a map-side hash table."""
+    host = F.expr(_BLOCK_HOST_SPARK)
+    d = _docs(spark, sf_dir).select("doc_id", host.alias("host"))
+    sufs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(host, '\\\\.'))), "
+                "i -> array_join(slice(split(host, '\\\\.'), i, "
+                "size(split(host, '\\\\.')) - i + 1), '.'))"
+            )
+        ).alias("suf"),
+    )
+    bl = spark.createDataFrame([(e,) for e in _BLOCKLIST], ["suf"])
+    hits = (
+        sufs.join(F.broadcast(bl), "suf", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("blocked", F.lit(1))
+    )
+    return d.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        F.coalesce("blocked", F.lit(0)).cast("int").alias("blocked"),
+    )
+
+
+SQL_DOMAIN_BLOCKLIST = f"""
+WITH d AS (SELECT doc_id, {_BLOCK_HOST_DUCK} AS host FROM documents),
+bl AS (SELECT * FROM (VALUES
+       {", ".join(f"('{e}')" for e in _BLOCKLIST)}) AS v(suf)),
+s AS (SELECT doc_id,
+             unnest([array_to_string((string_split(host, '.'))[i:],'.')
+                     for i in generate_series(
+                         1, len(string_split(host, '.')))]) AS suf
+      FROM d),
+h AS (SELECT DISTINCT doc_id FROM s JOIN bl USING (suf))
+SELECT d.doc_id, d.host,
+       CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END::INT AS blocked
+FROM d LEFT JOIN h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3073,6 +3407,10 @@ QUERIES = {
     "sessionize": q_sessionize,
     "source_rollup": q_source_rollup,
     "bpe_merge_pairs": q_bpe_merge_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "paragraph_dedup": q_paragraph_dedup,
+    "doc_chunks": q_doc_chunks,
+    "domain_blocklist": q_domain_blocklist,
 }
 
 ORACLE = {
@@ -3128,4 +3466,8 @@ ORACLE = {
     "sessionize": SQL_SESSIONIZE,
     "source_rollup": SQL_SOURCE_ROLLUP,
     "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
 }

@@ -378,3 +378,130 @@ def test_canonical_url_dialects_agree_on_adversarial_cases(spark):
         ).fetchone()[0]
         assert got_spark[i] == want, (inp, got_spark[i], want)
         assert got_duck == want, (inp, got_duck, want)
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """The prefix-filtered candidate generation must lose NOTHING: the
+    query's pair set equals a brute-force all-pairs Jaccard over the
+    distinct-3-gram sets (the Bayardo/PPJoin completeness guarantee,
+    plus the length filter's exactness)."""
+    from owlfrontier import queries as Q
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    gsets = {
+        d: {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        for d, ws in docs.items()
+        if len(ws) >= 3
+    }
+    want = {}
+    ids = sorted(gsets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(gsets[a] & gsets[b])
+            union = len(gsets[a] | gsets[b])
+            if Q._JACC_DEN * inter >= Q._JACC_NUM * union:
+                want[(a, b)] = (inter, union)
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter"], r["union_sz"])
+        for r in Q.q_ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the corpus must actually exercise the op
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    """Brute-force referee: scrubbed text = blocks whose FIRST global
+    occurrence in (doc_id, idx) order is this one; md5 and counts must
+    match the query for every doc."""
+    import hashlib
+
+    from owlfrontier import queries as Q
+
+    pw = Q._PARA_WORDS
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    seen = set()
+    want = {}
+    for d in sorted(docs):
+        ws = docs[d]
+        blocks = [
+            " ".join(ws[b * pw:(b + 1) * pw])
+            for b in range((len(ws) - 1) // pw + 1)
+        ]
+        kept = [b for b in blocks if b not in seen and not seen.add(b)]
+        want[d] = (
+            len(blocks),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["kept_blocks"], r["clean_md5"])
+        for r in Q.q_paragraph_dedup(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(k < n for n, k, _ in want.values())  # dedup actually fired
+
+
+def test_doc_chunks_cover_every_token_with_overlap(spark):
+    """Every token index lands in >=1 chunk, consecutive chunks overlap
+    by CHUNK-STRIDE tokens, and each chunk_md5 is the md5 of exactly
+    the window's whitespace-joined slice."""
+    import hashlib
+
+    from owlfrontier import queries as Q
+
+    ch, st = Q._CHUNK_TOK, Q._CHUNK_STRIDE
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    rows = Q.q_doc_chunks(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for d, ws in docs.items():
+        chunks = sorted(by_doc[d], key=lambda r: r["chunk_idx"])
+        covered = set()
+        for r in chunks:
+            start = r["chunk_idx"] * st
+            window = ws[start:start + ch]
+            assert r["n_tok"] == len(window)
+            assert (
+                r["chunk_md5"]
+                == hashlib.md5(" ".join(window).encode()).hexdigest()
+            )
+            covered.update(range(start, start + len(window)))
+        assert covered == set(range(len(ws)))
+        # stride < chunk ⇒ adjacent windows overlap (when 2+ chunks)
+        if len(chunks) > 1:
+            assert st < ch
+
+
+def test_domain_blocklist_suffix_semantics(spark):
+    """blocked=1 iff the host equals a blocklist entry or ends with
+    '.'+entry (parent-domain suffix match); subdomains of a listed
+    registrable domain are blocked, siblings are not."""
+    from owlfrontier import queries as Q
+
+    rows = Q.q_domain_blocklist(spark, SF_DIR).collect()
+    assert len(rows) > 0
+
+    def ref_blocked(host):
+        return int(
+            any(
+                host == e or host.endswith("." + e)
+                for e in Q._BLOCKLIST
+            )
+        )
+
+    for r in rows:
+        assert r["blocked"] == ref_blocked(r["host"]), r
+    # both outcomes occur in the corpus
+    assert {r["blocked"] for r in rows} == {0, 1}
