@@ -3068,7 +3068,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     pref = sets.select(
         "doc_id",
         "sa",
-        F.explode(F.slice("hs", F.lit(1), plen)).alias("pk"),
+        F.posexplode(F.slice("hs", F.lit(1), plen)).alias("pos", "pk"),
     )
     # length filter (PPJoin): J >= τ implies τ·max(|A|,|B|) <= min(|A|,|B|)
     # — prunes size-incompatible candidates BEFORE the distinct+verify
@@ -3076,10 +3076,25 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     len_ok = _JACC_DEN * F.least(F.col("a.sa"), F.col("b.sa")) >= (
         _JACC_NUM * F.greatest(F.col("a.sa"), F.col("b.sa"))
     )
+    # positional filter (PPJoin): a shared gram at 0-based sorted
+    # positions (i, j) bounds the overlap by min(i,j) + min(sa-i, sb-j),
+    # and J >= τ needs overlap >= ceil(τ/(1+τ)·(sa+sb)); since the bound
+    # holds for EVERY shared gram, every match row of a true pair passes
+    # — map-side pruning before the distinct exchange, zero result change
+    alpha = F.expr(
+        f"cast(ceil({_JACC_NUM} * (a.sa + b.sa) / "
+        f"({_JACC_NUM} + {_JACC_DEN})) as int)"
+    )
+    pos_ok = (
+        F.least(F.col("a.pos"), F.col("b.pos"))
+        + F.least(
+            F.col("a.sa") - F.col("a.pos"), F.col("b.sa") - F.col("b.pos")
+        )
+    ) >= alpha
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), F.col("a.pk") == F.col("b.pk"))
-        .where((F.col("a.doc_id") < F.col("b.doc_id")) & len_ok)
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & len_ok & pos_ok)
         .select(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
         )
