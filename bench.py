@@ -202,23 +202,24 @@ def main() -> None:
             json.dump(raw, f, indent=1)
     except OSError:
         pass  # read-only cwd must not kill the headline line
-    print(
-        json.dumps(
-            {
-                "metric": "owlfrontier headline queries + crawl loop wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "crawl": best_crawl,
-                "crawl_policied": best_crawl_p,
-                "cpus": cpus,
-                "repeats": repeats,
-                "statistic": "min over interleaved repeats",
-            }
-        ),
-        flush=True,
-    )
+    # compact separators + 3-decimal floats keep the summary line well
+    # under a ~2 KB tail capture even as the registry grows (58 entries
+    # serialized with spaces measured 1906 bytes — too close)
+    summary = {
+        "metric": "owlfrontier headline queries + crawl loop wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "crawl": {k: (round(v, 3) if isinstance(v, float) else v)
+                  for k, v in best_crawl.items()},
+        "crawl_policied": {k: (round(v, 3) if isinstance(v, float) else v)
+                           for k, v in best_crawl_p.items()},
+        "cpus": cpus,
+        "repeats": repeats,
+        "statistic": "min over interleaved repeats",
+    }
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
     spark.stop()
 
 
