@@ -3363,6 +3363,42 @@ FROM d LEFT JOIN h USING (doc_id)
 """
 
 
+_QUANTS = (0.5, 0.9, 0.99)
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Per-language token-length quantiles (the corpus-profiling input
+    to every length-filter threshold choice): EXACT interpolated
+    percentiles, verified equal to DuckDB's ``quantile_cont``. Scale
+    note: exact percentile buffers each group's values (fine for the
+    5-language groups here; a 10^10-row group would not be) — the
+    production path at that scale is the MERGEABLE ``approx_percentile``
+    sketch (map-side-combinable, bounded memory), which
+    ``test_length_quantiles_sketch_contract`` pins to the exact values
+    within a rank-ε on this corpus. One groupBy, integer inputs, floats
+    only in the final interpolation (rounded)."""
+    qs = ", ".join(str(q) for q in _QUANTS)
+    d = _docs(spark, sf_dir).select(
+        "lang", F.expr("size(split(text, ' '))").alias("n")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("round(percentile(n, 0.5), 6)").alias("p50"),
+        F.expr("round(percentile(n, 0.9), 6)").alias("p90"),
+        F.expr("round(percentile(n, 0.99), 6)").alias("p99"),
+    )
+
+
+SQL_LENGTH_QUANTILES = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n, 0.5), 6) AS p50,
+       round(quantile_cont(n, 0.9), 6) AS p90,
+       round(quantile_cont(n, 0.99), 6) AS p99
+FROM (SELECT lang, len(string_split(text, ' ')) AS n FROM documents) t
+GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3426,6 +3462,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "doc_chunks": q_doc_chunks,
     "domain_blocklist": q_domain_blocklist,
+    "length_quantiles": q_length_quantiles,
 }
 
 ORACLE = {
@@ -3485,4 +3522,5 @@ ORACLE = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "doc_chunks": SQL_DOC_CHUNKS,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
 }

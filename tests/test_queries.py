@@ -505,3 +505,32 @@ def test_domain_blocklist_suffix_semantics(spark):
         assert r["blocked"] == ref_blocked(r["host"]), r
     # both outcomes occur in the corpus
     assert {r["blocked"] for r in rows} == {0, 1}
+
+
+def test_length_quantiles_sketch_contract(spark):
+    """The mergeable approx_percentile sketch (the 10^10-row scale path
+    — bounded-memory, map-side combinable) must land within a rank-ε of
+    the exact interpolated percentiles the oracle pins: with accuracy
+    parameter A, approx rank error <= n/A, so the approx value must sit
+    between the exact values at p±1/A (widened by one rank for the
+    interpolation difference)."""
+    from pyspark.sql import functions as F
+
+    acc = 100  # rank error <= n_docs / 100
+    d = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("lang", F.expr("size(split(text, ' '))").alias("n"))
+    )
+    rows = d.groupBy("lang").agg(
+        F.expr("sort_array(collect_list(n))").alias("vals"),
+        F.expr(
+            f"approx_percentile(n, array(0.5, 0.9, 0.99), {acc})"
+        ).alias("approx"),
+    ).collect()
+    for r in rows:
+        vals, m = r["vals"], len(r["vals"])
+        for p, a in zip((0.5, 0.9, 0.99), r["approx"]):
+            lo_rank = max(0, int(p * (m - 1)) - (m // acc) - 1)
+            hi_rank = min(m - 1, int(p * (m - 1)) + (m // acc) + 2)
+            assert vals[lo_rank] <= a <= vals[hi_rank], (
+                r["lang"], p, a, vals[lo_rank], vals[hi_rank])
