@@ -69,6 +69,11 @@ def main(argv: list[str]) -> int:
                     help="after the crawl, merge committed crawled "
                          "generations into one dir (snapshot store; "
                          "Iceberg uses rewrite_data_files)")
+    ap.add_argument("--canonical-keys", action="store_true",
+                    help="key the frontier/seen set on CANONICAL urls "
+                         "(fragment/:80/www./utm_* normalization at the "
+                         "frontier ingress); default off = reference "
+                         "parity (parse.go:88-131 stores hrefs verbatim)")
     ap.add_argument("--order-out", help="write the exact crawl order here")
     args = ap.parse_args(argv)
 
@@ -103,6 +108,7 @@ def main(argv: list[str]) -> int:
             maintain_index=args.maintain_index,
             compact_every_n=args.compact_every_n,
             fetch_join="bucketed" if args.bucketed else "auto",
+            canonical_keys=args.canonical_keys,
         ),
     )
     if args.resume:

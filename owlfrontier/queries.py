@@ -237,7 +237,10 @@ FROM documents GROUP BY md5(text)
 
 def q_neardup_jaccard(spark, sf_dir):
     """N-gram-free Jaccard near-dup: word-set Jaccard between adjacent doc
-    ids (integer-exact set sizes, so the double division is bit-identical)."""
+    ids (integer-exact set sizes, so the double division is bit-identical).
+    Declared BASELINE — the corpus-wide exact path is
+    :func:`q_ngram_jaccard_pairs` (prefix-filtered candidate generation),
+    and the sketch path is MinHash+LSH (:func:`q_minhash_lsh_pairs`)."""
     w = _docs(spark, sf_dir).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
     )
