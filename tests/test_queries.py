@@ -534,3 +534,55 @@ def test_length_quantiles_sketch_contract(spark):
             hi_rank = min(m - 1, int(p * (m - 1)) + (m // acc) + 2)
             assert vals[lo_rank] <= a <= vals[hi_rank], (
                 r["lang"], p, a, vals[lo_rank], vals[hi_rank])
+
+
+def test_canonical_url_combinatorial_grid(spark):
+    """Exhaustive combinatorial sweep over the canonicalization chain's
+    interacting dimensions (scheme × www × port × path shape × query ×
+    fragment — 648 URLs): both dialects agree on every combination, and
+    the chain is IDEMPOTENT (canon(canon(u)) == canon(u)) — one Spark
+    job and one DuckDB scan, no per-case round trips."""
+    import itertools
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from owlfrontier.urlutil import canonical_url_sql
+
+    schemes = ["http://", "https://", ""]
+    wwws = ["", "www.", "WWW."]
+    hosts = ["Ex.COM"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a/b", "/a:80/b"]
+    queries = [
+        "", "?utm_source=x", "?a=1", "?utm_source=x&a=1",
+        "?a=1&ref=rss", "?ref=rss&utm_b=2",
+    ]
+    frags = ["", "#f"]
+    urls = [
+        s + w + h + po + pa + q + f
+        for s, w, h, po, pa, q, f in itertools.product(
+            schemes, wwws, hosts, ports, paths, queries, frags
+        )
+    ]
+    sdf = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i int, u string"
+    )
+    c1 = F.expr(canonical_url_sql("u", "spark")).alias("c1")
+    got = sdf.select("i", "u", c1).select(
+        "i",
+        "u",
+        "c1",
+        F.expr(canonical_url_sql("c1", "spark")).alias("c2"),
+    ).collect()
+    by_i = {r["i"]: r for r in got}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    dexpr = canonical_url_sql("u", "duck")
+    duck = dict(con.execute(f"SELECT i, {dexpr} FROM t").fetchall())
+    for i, u in enumerate(urls):
+        r = by_i[i]
+        assert r["c1"] == duck[i], (u, r["c1"], duck[i])
+        assert r["c2"] == r["c1"], ("not idempotent", u, r["c1"], r["c2"])
