@@ -242,3 +242,60 @@ class HostQuotaGate:
 
     def admitted(self) -> DataFrame:
         return self.spark.read.parquet(self.accepted)
+
+
+class StreamingSeenGate:
+    """Watermark-bounded streaming URL-seen gate
+    (``dropDuplicatesWithinWatermark``): the stream-side sibling of the
+    batch enqueue dedup (O3, ``crawler._dedup``'s anti-join).
+
+    Admits the FIRST submission of each url and drops re-submissions
+    arriving within the watermark horizon. The state-store footprint is
+    bounded by the HORIZON (url keys older than the watermark are
+    evicted), not by lifetime key cardinality — the opposite trade from
+    the batch bloom/anti-join, which is exact forever but sized by the
+    crawled-set cardinality. Use this gate where the duplicate surface
+    is temporal (re-submission storms, retry floods, at-least-once
+    upstream queues); the batch anti-join at enqueue remains the
+    exactness gate. Consequence, by design: a url re-submitted AFTER
+    the horizon passes is admitted again — the crawl engine's own dedup
+    still drops it, so the gate is a state-bounded prefilter, exactly
+    like the bloom (false-positive-free within the horizon).
+
+    Scale shape: one shuffle on url per micro-batch; state is one entry
+    per distinct url per horizon window, evicted by event time.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 horizon: str = "10 minutes"):
+        self.spark = spark
+        self.root = root
+        self.horizon = horizon
+        self.inbox = os.path.join(root, "inbox")
+        self.admitted_path = os.path.join(root, "admitted")
+        self.checkpoint = os.path.join(root, "checkpoint-seen")
+        os.makedirs(self.inbox, exist_ok=True)
+
+    def start(self, available_now: bool = True):
+        gated = (
+            self.spark.readStream.schema(SEED_SCHEMA)
+            .json(self.inbox)
+            .withWatermark("submitted_at", self.horizon)
+            .dropDuplicatesWithinWatermark(["url"])
+            .withColumn("host", F.regexp_extract("url", HOST_REGEX, 1))
+        )
+        writer = (
+            gated.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", self.admitted_path)
+            .option("checkpointLocation", self.checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def drain(self) -> None:
+        self.start(available_now=True).awaitTermination()
+
+    def admitted(self) -> DataFrame:
+        return self.spark.read.parquet(self.admitted_path)

@@ -1198,3 +1198,54 @@ def test_sniff_mime_agrees_with_decoder_dispatch():
 
     assert (decode_wav_pcm(encode_wav(pcm, 8000))[0] == pcm).all()
     assert (decode_flac_pcm(encode_flac(pcm, 8000))[0] == pcm).all()
+
+
+def test_streaming_seen_gate_dedups_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark gate: same-batch and cross-batch
+    re-submissions inside the horizon are dropped (state persists via
+    the streaming checkpoint); a url re-submitted AFTER the watermark
+    passes its horizon is re-admitted — the documented bounded-state
+    trade (the batch anti-join downstream stays exact)."""
+    from owlfrontier.streaming import StreamingSeenGate
+
+    gate = StreamingSeenGate(spark, str(tmp_path / "seen"),
+                             horizon="10 minutes")
+
+    def drop(name, rows):
+        p = os.path.join(gate.inbox, name)
+        with open(p, "w") as f:
+            for url, ts in rows:
+                f.write(json.dumps(
+                    {"url": url, "submitted_at": ts}) + "\n")
+
+    drop("b1.json", [
+        ("http://a.example/p0", "2026-01-01T00:00:00Z"),
+        ("http://a.example/p0", "2026-01-01T00:00:05Z"),  # same-batch dup
+        ("http://b.example/p1", "2026-01-01T00:00:10Z"),
+    ])
+    gate.drain()
+    drop("b2.json", [
+        ("http://a.example/p0", "2026-01-01T00:02:00Z"),  # in-horizon dup
+        ("http://c.example/p2", "2026-01-01T00:02:30Z"),
+    ])
+    gate.drain()
+    got = sorted(
+        (r["url"], r["submitted_at"].isoformat())
+        for r in gate.admitted().collect()
+    )
+    assert got == [
+        ("http://a.example/p0", "2026-01-01T00:00:00"),
+        ("http://b.example/p1", "2026-01-01T00:00:10"),
+        ("http://c.example/p2", "2026-01-01T00:02:30"),
+    ]
+    # advance the watermark far past p0's horizon, then resubmit p0:
+    # bounded state has evicted it → re-admitted (by design)
+    drop("b3.json", [("http://z.example/adv", "2026-01-01T01:00:00Z")])
+    gate.drain()
+    drop("b4.json", [("http://a.example/p0", "2026-01-01T01:00:30Z")])
+    gate.drain()
+    p0 = [r for r in gate.admitted().collect()
+          if r["url"] == "http://a.example/p0"]
+    assert len(p0) == 2  # first admission + post-horizon re-admission
+    hosts = {r["url"]: r["host"] for r in gate.admitted().collect()}
+    assert hosts["http://b.example/p1"] == "b.example"
