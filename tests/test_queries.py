@@ -586,3 +586,32 @@ def test_canonical_url_combinatorial_grid(spark):
         r = by_i[i]
         assert r["c1"] == duck[i], (u, r["c1"], duck[i])
         assert r["c2"] == r["c1"], ("not idempotent", u, r["c1"], r["c2"])
+
+
+def test_new_ops_plan_shapes(spark):
+    """Plan-regression pins for the round-5 additions' scale claims:
+    doc_chunks is a pure scan (ZERO exchanges), domain_blocklist probes
+    the blocklist via a BROADCAST join (the corpus is never shuffled on
+    the host key), and paragraph_dedup's winner aggregation is a
+    partial-aggregating hash agg (map-side combine before its one
+    block-keyed exchange)."""
+    from owlfrontier import queries as Q
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple")
+        )
+
+    chunks = plan_of(Q.q_doc_chunks(spark, SF_DIR))
+    assert "Exchange" not in chunks
+
+    block = plan_of(Q.q_domain_blocklist(spark, SF_DIR))
+    assert "BroadcastHashJoin" in block or "BroadcastNestedLoop" in block
+    # the corpus side must not hash-exchange on the suffix key
+    assert "Exchange hashpartitioning(suf" not in block
+
+    para = plan_of(Q.q_paragraph_dedup(spark, SF_DIR))
+    # two-phase agg: partial HashAggregate before the block exchange
+    assert "Exchange hashpartitioning(block" in para
+    assert para.count("HashAggregate(keys=[block") >= 2
