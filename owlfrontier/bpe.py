@@ -171,3 +171,56 @@ def encode(
     return df.withColumn(
         "tokens", pandas_udf("array<string>")(_encode)(F.col(text_col))
     )
+
+
+# -- pure-SQL encode (both dialects) ------------------------------------------
+#
+# The greedy left-to-right single-merge pass is expressible as a FOLD
+# with a SEP-joined string accumulator: merge when the accumulator's
+# last atom is x and the incoming atom is y. SEP (U+001F) never occurs
+# inside an atom, so "last atom is x" is exactly
+# ``acc = x OR acc ends with SEP||x`` and the fold provably equals
+# :func:`merge_word` pass-for-pass. Chaining k merges = k fold levels,
+# each re-splitting the previous level's string on SEP — linear SQL
+# growth (the accumulator seed '' keeps each level referencing its
+# input ONCE). Spark: ``aggregate``; DuckDB: ``list_reduce`` over
+# ``list_prepend('', …)`` (its seed form).
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def encode_fold_sql(
+    word: str, merges: list[tuple[str, str]], dialect: str = "spark"
+) -> str:
+    """SQL expression (in ``dialect``) computing the SEP-joined BPE
+    atoms of the word expression ``word`` under the FIXED merge list."""
+    split_fn = "split" if dialect == "spark" else "string_split"
+    arr = f"{split_fn}({word}, '')"
+    folded = (
+        f"array_join({arr}, chr(31))" if dialect == "spark"
+        else f"array_to_string({arr}, chr(31))"
+    )
+    for x, y in merges:
+        qx, qy, qxy = _q(x), _q(y), _q(x + y)
+        if dialect == "spark":
+            lam = (
+                "(acc, v) -> CASE WHEN acc = '' THEN v "
+                f"WHEN (acc = '{qx}' OR endswith(acc, concat(chr(31), "
+                f"'{qx}'))) AND v = '{qy}' "
+                f"THEN concat(left(acc, length(acc) - {len(x)}), '{qxy}') "
+                "ELSE concat(acc, chr(31), v) END"
+            )
+            folded = f"aggregate({arr}, '', {lam})"
+        else:
+            lam = (
+                "(acc, v) -> CASE WHEN acc = '' THEN v "
+                f"WHEN (acc = '{qx}' OR ends_with(acc, chr(31) || "
+                f"'{qx}')) AND v = '{qy}' "
+                f"THEN left(acc, length(acc) - {len(x)}) || '{qxy}' "
+                "ELSE acc || chr(31) || v END"
+            )
+            folded = f"list_reduce(list_prepend('', {arr}), {lam})"
+        arr = f"{split_fn}({folded}, chr(31))"
+    return folded

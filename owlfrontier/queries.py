@@ -3402,6 +3402,79 @@ GROUP BY lang
 """
 
 
+# The trained artifact pinned as a constant (the top-16 merges
+# owlfrontier.bpe.train_merges produces on the sf0.001 corpus — includes
+# multi-char x and y so the fold's generic-length branch is exercised).
+# APPLICATION with a fixed vocabulary is the production op under test
+# here; training ships as bpe.train_merges (pytest-refereed).
+_BPE_FIXED_MERGES = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE ENCODING as pure SQL — both engines apply the pinned
+    16-merge table exactly, so the oracle hash-checks the full token
+    stream (md5) and token counts. Each merge level is a fold
+    (``aggregate`` / ``list_reduce``) with a U+001F-joined string
+    accumulator that provably equals the greedy left-to-right merge
+    pass (:mod:`owlfrontier.bpe`, `encode_fold_sql`); 16 levels chain
+    with LINEAR expression growth (each level references its input
+    once — the '' seed avoids the head/tail double reference). Zero
+    shuffle, zero UDF: tokenization is scan-stage work. The Arrow-UDF
+    twin (`bpe.encode`) is the readable production path; this pair
+    pins its exact semantics cross-engine."""
+    from owlfrontier.bpe import encode_fold_sql
+
+    fold = encode_fold_sql("w", _BPE_FIXED_MERGES, "spark")
+    stream = (
+        "array_join(transform(filter(split(text, ' '), w -> w <> ''), "
+        f"w -> {fold}), chr(30))"
+    )
+    n_tok = (
+        "cast(CASE WHEN stream = '' THEN 0 ELSE "
+        "(length(stream) - length(replace(stream, chr(31), ''))) + "
+        "(length(stream) - length(replace(stream, chr(30), ''))) + 1 "
+        "END as bigint)"
+    )
+    return (
+        _spread(_docs(spark, sf_dir))
+        .select("doc_id", F.expr(stream).alias("stream"))
+        .select(
+            "doc_id",
+            F.expr(n_tok).alias("n_tokens"),
+            F.md5("stream").alias("tokens_md5"),
+        )
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    from owlfrontier.bpe import encode_fold_sql
+
+    fold = encode_fold_sql("w", _BPE_FIXED_MERGES, "duck")
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             list_filter(string_split(text, ' '), w -> w <> ''),
+             w -> {fold}), chr(30)) AS stream
+  FROM documents)
+SELECT doc_id,
+       (CASE WHEN stream = '' THEN 0 ELSE
+         (length(stream) - length(replace(stream, chr(31), ''))) +
+         (length(stream) - length(replace(stream, chr(30), ''))) + 1
+        END)::BIGINT AS n_tokens,
+       md5(stream) AS tokens_md5
+FROM s
+"""
+
+
+SQL_BPE_ENCODE = _bpe_encode_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3466,6 +3539,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "domain_blocklist": q_domain_blocklist,
     "length_quantiles": q_length_quantiles,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLE = {
@@ -3526,4 +3600,5 @@ ORACLE = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "domain_blocklist": SQL_DOMAIN_BLOCKLIST,
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "bpe_encode": SQL_BPE_ENCODE,
 }

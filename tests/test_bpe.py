@@ -70,3 +70,34 @@ def test_merges_monotonically_reduce_token_count(spark):
         if prev is not None:
             assert total <= prev
         prev = total
+
+
+def test_sql_fold_encode_matches_python_referee(spark):
+    """Triangulation: the pure-SQL fold encode (both dialects hash-match
+    via the oracle pair) must ALSO equal the pure-Python greedy encoder
+    token-for-token — proving the fold == merge_word equivalence the
+    bpe.py comment claims, on every corpus word."""
+    from owlfrontier import queries as Q
+    from owlfrontier.bpe import encode_fold_sql
+
+    from pyspark.sql import functions as F
+
+    merges = Q._BPE_FIXED_MERGES
+    fold = encode_fold_sql("w", merges, "spark")
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "text",
+            F.expr(
+                "transform(filter(split(text, ' '), w -> w <> ''), "
+                f"w -> {fold})"
+            ).alias("folded"),
+        )
+        .limit(80)
+        .collect()
+    )
+    for r in rows:
+        for w, f in zip(
+            [w for w in r["text"].split(" ") if w], r["folded"]
+        ):
+            assert f.split("\x1f") == atomize(w, merges), (w, f)
