@@ -166,3 +166,62 @@ def connected_components(
         labels, rounds = _labels_by_star(nodes, edges, max_rounds)
         return (labels, rounds) if return_rounds else labels
     raise ValueError(f"unknown mode: {mode!r} (label | star)")
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    damp_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """General PageRank over an arbitrary directed (src, dst) edge list
+    — the crawl-priority signal, generalized from the fixed-outdegree
+    variant the ``pagerank`` query pair pins (queries.q_pagerank; on
+    that graph the two produce IDENTICAL ranks, pytest-asserted).
+
+    INTEGER-EXACT like its sibling: ranks are bigints in units of
+    1/scale, every contribution ``pr * damp_pct div (100 * outdeg)``
+    is associative, so results are bit-identical at any parallelism.
+    Scale shape: outdegrees are ONE groupBy over the edges (computed
+    once, localCheckpointed); each iteration is one edges⋈ranks
+    equi-join + groupBy-sum — |E| rows through one shuffle — with
+    lineage truncated per round. Dangling nodes (no out-edges)
+    contribute nothing (the crawl-frontier convention: an unexpanded
+    page holds its rank mass).
+
+    Returns (id, pr) — feed ``pr`` to ``CrawlEngine`` as
+    ``priority_scores`` (highest drains first)."""
+    n = nodes.count()
+    base = scale // n
+    base_hold = (100 - damp_pct) * base // 100
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = (
+        edges.join(deg, "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    r = nodes.select(
+        "id", F.lit(base).cast("bigint").alias("pr")
+    )
+    for _ in range(iters):
+        # same rounding ORDER as q_pagerank (pr div outdeg summed, damped
+        # after the sum) so the two are bit-identical where they overlap
+        contrib = e.join(r, e["src"] == r["id"]).select(
+            "dst", F.expr("pr div outdeg").alias("c")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("sc"))
+        r = (
+            nodes.join(sums, nodes["id"] == sums["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(base_hold)
+                    + F.expr(f"coalesce(sc, 0L) * {damp_pct} div 100")
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r

@@ -976,3 +976,101 @@ def test_canonicalize_pages_dedupes_store_first_wins(spark):
     assert set(got) == {"http://a.example/p1", "http://a.example/p2"}
     assert got["http://a.example/p1"][0] == b"early"
     assert got["http://a.example/p2"][0] == b"only"
+
+
+def test_general_pagerank_matches_fixed_graph_twin(spark):
+    """graph.pagerank (arbitrary outdegrees) must be BIT-IDENTICAL to
+    the oracle-paired fixed-outdegree q_pagerank on its own graph —
+    the general implementation inherits the specialized one's
+    hash-matched correctness where they overlap."""
+    from pyspark.sql import functions as F
+
+    from owlfrontier import queries as Q
+    from owlfrontier.graph import pagerank
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = docs.selectExpr(
+        "doc_id AS src", f"pmod(2 * doc_id + 1, {n}) AS dst"
+    ).unionAll(
+        docs.selectExpr(
+            "doc_id AS src", f"pmod(3 * doc_id + 7, {n}) AS dst"
+        )
+    )
+    want = {
+        r["doc_id"]: r["pr"] for r in Q.q_pagerank(spark, sf).collect()
+    }
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank(nodes, edges, iters=Q._PR_ITERS).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_feeds_priority_crawl_end_to_end(spark, tmp_path):
+    """The full feedback loop: crawl a site FIFO → build the real link
+    graph from the crawled store → rank it with graph.pagerank →
+    re-crawl with the ranks as priority_scores. The most-linked page
+    must be fetched FIRST under the k=1 budget even though FIFO
+    discovery order puts it last."""
+    from pyspark.sql import functions as F
+
+    from owlfrontier.crawler import CrawlConfig, CrawlEngine
+    from owlfrontier.graph import pagerank
+
+    # seed discovers /a, /b, /hub in that order; every leaf links back
+    # to /hub, so /hub out-ranks its discovery peers
+    pages = {
+        "http://s.example/seed": (
+            '<a href="/a">a</a><a href="/b">b</a><a href="/hub">h</a>'
+        ),
+        "http://s.example/a": '<a href="/hub">h</a>',
+        "http://s.example/b": '<a href="/hub">h</a>',
+        "http://s.example/hub": "<p>hub</p>",
+    }
+
+    def crawl(store, scores=None):
+        eng = CrawlEngine(
+            spark,
+            _mini_pages(spark, pages),
+            str(tmp_path / store),
+            priority_scores=scores,
+            config=CrawlConfig(
+                politeness_k=1, salt_buckets=2, frontier_partitions=4,
+                use_bloom=False, max_generations=50,
+                priority="score" if scores is not None else "fifo",
+            ),
+        )
+        eng.run(seeds=["http://s.example/seed"])
+        return eng
+
+    fifo = crawl("fifo")
+    crawled = fifo.crawled()
+    # real link graph from the store (links_all holds the RESOLVED
+    # absolute urls, extract.py)
+    edges = crawled.select(
+        F.col("url").alias("src"), F.explode("links_all").alias("dst")
+    )
+    nodes = crawled.select(F.col("url").alias("id"))
+    ranks = pagerank(nodes, edges.join(nodes, edges["dst"] == nodes["id"],
+                                       "left_semi"))
+    scores = ranks.select(
+        F.col("id").alias("url"), F.col("pr").cast("double").alias("score")
+    )
+    rank_map = {r["id"]: r["pr"] for r in ranks.collect()}
+    assert rank_map["http://s.example/hub"] == max(rank_map.values())
+
+    ranked = crawl("ranked", scores=scores)
+    gens = {
+        r["url"]: r["gen_fetched"] for r in ranked.crawled().collect()
+    }
+    fifo_gens = {
+        r["url"]: r["gen_fetched"] for r in fifo.crawled().collect()
+    }
+    # FIFO fetches /hub last of the three peers; rank-fed crawl first
+    assert fifo_gens["http://s.example/hub"] == 3
+    assert gens["http://s.example/hub"] == 1
+    # the seen set is priority-invariant
+    assert set(gens) == set(fifo_gens)
