@@ -1074,3 +1074,46 @@ def test_pagerank_feeds_priority_crawl_end_to_end(spark, tmp_path):
     assert gens["http://s.example/hub"] == 1
     # the seen set is priority-invariant
     assert set(gens) == set(fifo_gens)
+
+
+@pytest.mark.parametrize(
+    "seed,n_pages,n_hosts,k,robots_hosts",
+    [
+        (101, 35, 5, None, 0),
+        (202, 40, 3, 1, 1),
+        (303, 45, 6, 2, 2),
+        (404, 30, 2, 3, 0),
+        (505, 55, 7, None, 3),
+    ],
+)
+def test_fuzz_engine_equals_simulator(
+    spark, tmp_path, seed, n_pages, n_hosts, k, robots_hosts
+):
+    """Seed-sweep fuzz: full engine↔simulator equivalence (crawl order,
+    seen set, extracted bytes, lineage, per-generation metrics) over
+    RANDOM site graphs spanning host skew, politeness budgets and
+    robots gating — widening the fixed-seed scenarios above."""
+    from owlfrontier.urlutil import host_of
+
+    rows, seeds = gen_site(
+        n_pages=n_pages, n_hosts=n_hosts, seed=seed,
+        robots_hosts=robots_hosts,
+    )
+    pages = pages_map(rows)
+    rb_rows = [
+        (host_of(r["url"]), r["html"].decode())
+        for r in rows
+        if r["url"].endswith("/robots.txt")
+    ] or None
+    golden = simulate_generations(
+        pages, seeds, politeness_k=k,
+        robots=disallow_map(rb_rows) if rb_rows else None,
+        max_generations=200,
+    )
+    engine, summary = _run(
+        spark, tmp_path, pages_df(spark, rows), seeds,
+        politeness_k=k, robots_rows=rb_rows, max_generations=200,
+        robots_enabled=rb_rows is not None,
+    )
+    _check_equivalence(engine, golden)
+    assert summary["crawled"] == len(golden.url_seen)
