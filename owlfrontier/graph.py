@@ -40,7 +40,17 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 def _labels_by_propagation(
     nodes: DataFrame, edges: DataFrame, max_rounds: int
 ) -> DataFrame:
-    sym = _symmetric(edges).localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
+    # r6 (guide §2.4): self-loops folded into the propagation edge set
+    # ONCE, so each round is a single join + groupBy-min — min over
+    # N(u) ∪ {u} in one aggregation — instead of the old
+    # neighbor-join + groupBy + second left-join-with-least shape
+    # (same per-round labels, ~half the exchanges per round).
+    sym = _symmetric(edges)
+    prop = sym.unionAll(
+        nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).localCheckpoint(eager=True)
     labels = nodes.select(
         "id", F.col("id").alias("component")
     ).localCheckpoint(eager=True)
@@ -50,23 +60,21 @@ def _labels_by_propagation(
         F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
     for _ in range(max_rounds):
-        nbr = sym.join(labels, sym["dst"] == labels["id"]).groupBy(
-            "src"
-        ).agg(F.min("component").alias("nbr_min"))
+        # the convergence checksum rides the checkpoint materialization as
+        # an observed metric — one job per round, not two
+        obs = Observation()
         labels = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
+            prop.join(labels, prop["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("component"))
+            .select(F.col("src").alias("id"), "component")
+            .observe(
+                obs,
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
             )
             .localCheckpoint(eager=True)
         )
-        cur = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        cur = obs.get["s"]
         if cur == prev:
             break
         prev = cur

@@ -1340,13 +1340,20 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
     sub-bucket matches: miss probability (1 − 0.955⁴)⁴ ≈ 0.001. Recall
     contract in tests/test_ann_recall.py.
 
-    Scale shape: the 16-bit bucket is ONE per-row fold over the broadcast
-    sign matrix (shared with q_ann_lsh_buckets); band keys are arithmetic
-    bit-slices of it (no extra projection); candidates come from
-    4 equi-self-joins expressed as one join on (band,
-    sub-bucket) after a 4× explode; pairs found by several bands dedup
-    with a groupBy BEFORE the exact-cosine filter, so each candidate pair
-    is scored once. Never all-pairs."""
+    Scale shape (r6 revision, guide §2.4/§3.1/§8): the 16-bit bucket is
+    ONE per-row fold over the broadcast sign matrix (shared with
+    q_ann_lsh_buckets); band keys are arithmetic bit-slices of it; the
+    candidate self-join matches on (band, sub-bucket) with ONLY
+    (vec_id, bucket) on the broadcast build side — never the quantized
+    arrays. The OR-over-bands dedup is a MAP-SIDE FILTER: a pair
+    colliding in several bands keeps only the row whose band is the
+    SMALLEST matching band (decidable from the two bucket ids alone),
+    which replaces the old groupBy(first(qa), first(qb)) pair dedup —
+    array-typed aggregation buffers forced a SortAggregate plus a full
+    pair-row exchange carrying both arrays (~1 KB/pair). Vector norms
+    are precomputed once per vector (not per pair), and the arrays are
+    re-attached by a second broadcast hash join, so the whole query is
+    one shuffle-free codegen pipeline. Never all-pairs."""
     e = _emb(spark, sf_dir)
     dim = _emb_dim(e, cache_key=f"{sf_dir}/embeddings.parquet")
     quant = _spread(e).select(
@@ -1361,8 +1368,14 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
         ).alias("xi"),
     )
     bucket = _lsh_bucket_expr(dim, _LSH_PLANES)
+    # per-vector norm, computed once here instead of once per candidate
+    # pair (the sqrt-of-bigint double math is unchanged, so cos_q is
+    # bit-identical to the per-pair formulation)
+    norm = ("sqrt(cast(aggregate(transform(q, x -> x * x), "
+            "cast(0 as bigint), (acc, v) -> acc + v) as double))")
     bk = quant.select(
-        "vec_id", "q", F.expr(bucket).alias("bucket")
+        "vec_id", "q", F.expr(bucket).alias("bucket"),
+        F.expr(norm).alias("rn"),
     ).localCheckpoint(eager=True)
     band_keys = F.array(*[
         F.struct(
@@ -1375,32 +1388,45 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
         for b in range(_LSH_BANDS)
     ])
     keys = bk.select(
-        "vec_id", "q", F.explode(band_keys).alias("k")
-    ).select("vec_id", "q", "k.band", "k.bb")
+        "vec_id", "bucket", F.explode(band_keys).alias("k")
+    ).select("vec_id", "bucket", "k.band", "k.bb")
     a = keys.select(
-        F.col("vec_id").alias("a_id"), F.col("q").alias("qa"), "band", "bb"
+        F.col("vec_id").alias("a_id"), F.col("bucket").alias("abkt"),
+        "band", "bb",
     )
     b = keys.select(
-        F.col("vec_id").alias("b_id"), F.col("q").alias("qb"), "band", "bb"
+        F.col("vec_id").alias("b_id"), F.col("bucket").alias("bbkt"),
+        "band", "bb",
     )
+    # smallest band in which the two buckets agree — every joined row has
+    # at least one (its own), so the ELSE arm is exact, not a default
+    first_band = "CASE " + " ".join(
+        f"WHEN (abkt div {1 << (bi * _LSH_BAND_PLANES)}) "
+        f"% {1 << _LSH_BAND_PLANES} = "
+        f"(bbkt div {1 << (bi * _LSH_BAND_PLANES)}) "
+        f"% {1 << _LSH_BAND_PLANES} THEN {bi}L"
+        for bi in range(_LSH_BANDS - 1)
+    ) + f" ELSE {_LSH_BANDS - 1}L END"
     cand = (
-        a.join(b, ["band", "bb"])
+        a.join(F.broadcast(b), ["band", "bb"])
         .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")  # OR over bands: score each pair once
-        .agg(F.first("qa").alias("qa"), F.first("qb").alias("qb"))
+        .where(F.col("band") == F.expr(first_band))
+        .select("a_id", "b_id")
     )
+    va = F.broadcast(bk.select(
+        F.col("vec_id").alias("a_id"), F.col("q").alias("qa"),
+        F.col("rn").alias("rna"),
+    ))
+    vb = F.broadcast(bk.select(
+        F.col("vec_id").alias("b_id"), F.col("q").alias("qb"),
+        F.col("rn").alias("rnb"),
+    ))
     dot = ("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
            "cast(0 as bigint), (acc, v) -> acc + v)")
-    na = ("aggregate(transform(qa, x -> x * x), "
-          "cast(0 as bigint), (acc, v) -> acc + v)")
-    nb = ("aggregate(transform(qb, x -> x * x), "
-          "cast(0 as bigint), (acc, v) -> acc + v)")
-    cos = F.expr(
-        f"cast({dot} as double) / "
-        f"(sqrt(cast({na} as double)) * sqrt(cast({nb} as double)))"
-    )
+    cos = F.expr(f"cast({dot} as double) / (rna * rnb)")
     return (
-        cand.select("a_id", "b_id", F.round(cos, 6).alias("cos_q"))
+        cand.join(va, "a_id").join(vb, "b_id")
+        .select("a_id", "b_id", F.round(cos, 6).alias("cos_q"))
         .where(F.col("cos_q") >= _LSH_PAIR_COS)
     )
 
@@ -3041,11 +3067,30 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     exploded into the inverted index that generates candidates — at
     t=1/2 that's ~half the explode volume, and crucially hot grams
     deep in a doc's suffix never fan out at all. The global order here
-    is md5(gram) (ASCII hex: bytewise-identical ordering in Spark and
-    DuckDB), which also double-duties as gram-frequency scrambling —
-    stopword-ish hot grams land at random prefix positions instead of
-    every doc's prefix front. Candidates then verify EXACTLY via one
-    join back to the full sorted-digest arrays: intersection size by
+    is md5(gram) (r6: held as the 16-byte ``unhex`` BINARY — an
+    injective, order-preserving recoding of the oracle's hex string, so
+    the sort order, prefix set, distinctness and intersection sizes are
+    bytewise-identical at half the bytes and memcmp-fast comparisons),
+    which also double-duties as gram-frequency scrambling — stopword-ish
+    hot grams land at random prefix positions instead of every doc's
+    prefix front. Each doc's working array ``h8`` is the POSITIONAL
+    ``xxhash64`` image of that md5-sorted digest array: element i of h8
+    is xxhash64 of sorted-digest i, so prefix slices, sorted positions
+    and (w.h.p.) distinctness/intersection sizes are preserved while
+    every downstream comparison is a single long op. This matters twice:
+    the inverted-index join key becomes a bigint equi-join, and — the r6
+    headline — candidate verification's ``array_intersect`` runs on
+    ``array<bigint>``, which takes Spark's specialized long-OpenHashSet
+    O(|A|+|B|) path; on the binary/string digests it falls back to the
+    generic O(|A|·|B|) ordering scan (measured: the verify stage alone
+    was ~10× the whole candidate stage). A 64-bit collision could in
+    principle perturb a count (P < 1e-8 corpus-wide at sf1.0;
+    hash-match against the md5-exact DuckDB oracle is verified at every
+    shipped sf). Verification itself is map-side against two BROADCAST
+    copies of the n-row digest table (guide §8: attach the decision
+    data without re-shuffling payload rows — the old shuffled attach
+    joins re-exchanged every array-carrying candidate row on the second
+    join key, ~2.5 KB × |candidates|): intersection size by
     ``array_intersect``, the τ gate as the integer predicate
     ``DEN*inter >= NUM*union``. Never all-pairs; the only row
     multiplication is the prefix explode."""
@@ -3055,14 +3100,20 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         .select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.size("ws") >= n)  # cheap-column filter (see _shingles_expr)
     )
-    # one sorted array of gram digests per doc; sa = |distinct grams|
+    # one sorted array of gram digests per doc (sorted in md5-BINARY
+    # order == the oracle's hex order), then its positional xxhash64
+    # image; sa = |distinct grams| (computed on the exact digests)
     sets = d.select(
         "doc_id",
         F.expr(
             f"array_sort(array_distinct(transform({_gram_expr(n, 'ws')}, "
-            "g -> md5(g))))"
+            "g -> unhex(md5(g)))))"
         ).alias("hs"),
-    ).select("doc_id", "hs", F.size("hs").alias("sa"))
+    ).select(
+        "doc_id",
+        F.expr("transform(hs, x -> xxhash64(x))").alias("h8"),
+        F.size("hs").alias("sa"),
+    )
     sets = sets.localCheckpoint(eager=False)  # shared by prefix + verify
     # prefix length |S| - ceil(τ|S|) + 1; at τ=1/2 this is |S| div 2 + 1
     plen = F.expr(
@@ -3071,7 +3122,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     pref = sets.select(
         "doc_id",
         "sa",
-        F.posexplode(F.slice("hs", F.lit(1), plen)).alias("pos", "pk"),
+        F.posexplode(F.slice("h8", F.lit(1), plen)).alias("pos", "pk"),
     )
     # length filter (PPJoin): J >= τ implies τ·max(|A|,|B|) <= min(|A|,|B|)
     # — prunes size-incompatible candidates BEFORE the distinct+verify
@@ -3103,16 +3154,16 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    va = sets.select(
+    va = F.broadcast(sets.select(
         F.col("doc_id").alias("a_id"),
-        F.col("hs").alias("ha"),
+        F.col("h8").alias("ha"),
         F.col("sa").alias("na"),
-    )
-    vb = sets.select(
+    ))
+    vb = F.broadcast(sets.select(
         F.col("doc_id").alias("b_id"),
-        F.col("hs").alias("hb"),
+        F.col("h8").alias("hb"),
         F.col("sa").alias("nb"),
-    )
+    ))
     inter = F.size(F.array_intersect("ha", "hb"))
     union = F.col("na") + F.col("nb") - inter
     return (
