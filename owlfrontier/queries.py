@@ -605,15 +605,18 @@ def q_ann_ivf_assign(spark, sf_dir):
         f"zip_with(xi, c, (a, b) -> (a - b) * (a - b)), "
         f"cast(0 as bigint), (acc, t) -> acc + t))"
     )
-    # argmin with lowest-centroid tiebreak: array_position finds the FIRST
-    # occurrence of the minimum
-    assign = (
-        f"cast(array_position({dists}, array_min({dists})) - 1 as bigint)"
-    )
-    return quant.select(
+    # r6 (guide §1.2 per-task work): the K×dim distance fold is computed
+    # ONCE as its own projection — inlining it into the argmin + dist2
+    # expressions evaluated it 3× per row (CollapseProject keeps the
+    # split because the alias is multi-referenced and non-cheap; the
+    # same pattern q_simhash documents). argmin with lowest-centroid
+    # tiebreak: array_position finds the FIRST occurrence of the minimum.
+    return quant.select("vec_id", F.expr(dists).alias("d")).select(
         "vec_id",
-        F.expr(assign).alias("centroid"),
-        F.expr(f"array_min({dists})").alias("dist2"),
+        F.expr(
+            "cast(array_position(d, array_min(d)) - 1 as bigint)"
+        ).alias("centroid"),
+        F.expr("array_min(d)").alias("dist2"),
     )
 
 
@@ -712,11 +715,16 @@ def _lloyd_train(quant, dim: int, cents: list[list[int]],
             f"zip_with(xi, c, (a, b) -> (a - b) * (a - b)), "
             f"cast(0 as bigint), (acc, t) -> acc + t))"
         )
-        assign = (
-            f"cast(array_position({dists}, array_min({dists})) - 1 as bigint)"
-        )
+        # distance fold computed once per row (own projection — see
+        # q_ann_ivf_assign), argmin over the materialized array
         rows = (
-            quant.select(F.expr(assign).alias("cid"), "xi")
+            quant.select(F.expr(dists).alias("d"), "xi")
+            .select(
+                F.expr(
+                    "cast(array_position(d, array_min(d)) - 1 as bigint)"
+                ).alias("cid"),
+                "xi",
+            )
             .groupBy("cid")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -952,38 +960,44 @@ def q_ann_ivf_topk(spark, sf_dir, nprobe: int = _IVF_NPROBE,
         f"zip_with(xi, c, (a, b) -> (a - b) * (a - b)), "
         f"cast(0 as bigint), (acc, t) -> acc + t))"
     )
-    assign = (
-        f"cast(array_position({dists}, array_min({dists})) - 1 as bigint)"
-    )
-    inv = quant.select(
+    # r6: the K×dim distance fold runs once per row (own projection —
+    # see q_ann_ivf_assign: inlined it was evaluated twice by the argmin
+    # expression), and each side's norm is computed once per ROW here
+    # instead of once per scored pair below (same sqrt/double math, so
+    # cos is bit-identical)
+    nn_ = "sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"
+    dq = quant.select("vec_id", "v", F.expr(dists).alias("d"))
+    inv = dq.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.expr(assign).alias("cid"),
+        F.expr(
+            "cast(array_position(d, array_min(d)) - 1 as bigint)"
+        ).alias("cid"),
         F.col("v").alias("nv"),
+        F.expr(nn_).alias("nn"),
     )
     # nprobe nearest centroids per query: sort (dist2, cid) structs — the
     # same tiebreak as the assign — and slice the head
     probes = (
-        quant.where(F.col("vec_id") < _IVF_NQUERIES)
+        dq.where(F.col("vec_id") < _IVF_NQUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.expr(nn_).alias("qn"),
             F.expr(
-                f"slice(array_sort(zip_with({dists}, "
+                f"slice(array_sort(zip_with(d, "
                 f"sequence(0, {_IVF_K - 1}), "
-                f"(d, i) -> struct(d AS d, cast(i as bigint) AS cid))), "
+                f"(dd, i) -> struct(dd AS d, cast(i as bigint) AS cid))), "
                 f"1, {nprobe})"
             ).alias("probe"),
         )
-        .select("query_id", "qv", F.explode("probe").alias("p"))
-        .select("query_id", "qv", F.col("p.cid").alias("cid"))
+        .select("query_id", "qv", "qn", F.explode("probe").alias("p"))
+        .select("query_id", "qv", "qn", F.col("p.cid").alias("cid"))
     )
     dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-    qn = "sqrt(aggregate(transform(qv, x -> x * x), 0D, (a, x) -> a + x))"
-    nn = "sqrt(aggregate(transform(nv, x -> x * x), 0D, (a, x) -> a + x))"
     scored = F.broadcast(probes).join(inv, "cid").select(
         "query_id",
         "neighbor_id",
-        F.expr(f"({dot}) / ({qn} * {nn})").alias("cos"),
+        F.expr(f"({dot}) / (qn * nn)").alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -1272,19 +1286,21 @@ def q_ann_lsh_pairs(spark, sf_dir):
         ).alias("xi"),
     )
     bucket = _lsh_bucket_expr(dim, _LSH_PAIR_PLANES)
+    # per-vector norm computed once (not per pair) — identical sqrt math
+    norm = ("sqrt(cast(aggregate(transform(q, x -> x * x), "
+            "cast(0 as bigint), (acc, v) -> acc + v) as double))")
     bk = quant.select(
-        "vec_id", "q", F.expr(bucket).alias("bucket")
+        "vec_id", "q", F.expr(bucket).alias("bucket"),
+        F.expr(norm).alias("rn"),
     ).localCheckpoint(eager=True)
-    a = bk.select(F.col("vec_id").alias("a_id"), F.col("q").alias("qa"), "bucket")
-    b = bk.select(F.col("vec_id").alias("b_id"), F.col("q").alias("qb"), "bucket")
+    a = bk.select(F.col("vec_id").alias("a_id"), F.col("q").alias("qa"),
+                  F.col("rn").alias("rna"), "bucket")
+    b = bk.select(F.col("vec_id").alias("b_id"), F.col("q").alias("qb"),
+                  F.col("rn").alias("rnb"), "bucket")
     j = a.join(b, "bucket").where(F.col("a_id") < F.col("b_id"))
-    dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
-    na = "aggregate(transform(qa, x -> x * x), cast(0 as bigint), (acc, v) -> acc + v)"
-    nb = "aggregate(transform(qb, x -> x * x), cast(0 as bigint), (acc, v) -> acc + v)"
-    cos = F.expr(
-        f"cast({dot} as double) / "
-        f"(sqrt(cast({na} as double)) * sqrt(cast({nb} as double)))"
-    )
+    dot = ("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+           "cast(0 as bigint), (acc, v) -> acc + v)")
+    cos = F.expr(f"cast({dot} as double) / (rna * rnb)")
     return (
         j.select("a_id", "b_id", F.round(cos, 6).alias("cos_q"))
         .where(F.col("cos_q") >= _LSH_PAIR_COS)
@@ -1421,6 +1437,9 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
         F.col("vec_id").alias("b_id"), F.col("q").alias("qb"),
         F.col("rn").alias("rnb"),
     ))
+    # dot via one zip_with/aggregate fold (measured: an unrolled
+    # qa[0]*qb[0]+… flat sum was 12× SLOWER — the giant expression tree
+    # drops out of codegen into interpreted per-element GetArrayItem)
     dot = ("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
            "cast(0 as bigint), (acc, v) -> acc + v)")
     cos = F.expr(f"cast({dot} as double) / (rna * rnb)")
