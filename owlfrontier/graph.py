@@ -55,16 +55,27 @@ def _labels_by_propagation(
         "id", F.col("id").alias("component")
     ).localCheckpoint(eager=True)
     # decimal sum: overflow-proof change detector (strictly decreases while
-    # any label changes, so equal sums == fixpoint)
-    prev = labels.agg(
-        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    # any label changes, so equal sums == fixpoint). count rides the same
+    # aggregate: it gates the broadcast decision below for free.
+    row0 = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    prev = row0["s"]
+    # the labels table is |V| rows of two bigints; when that fits an
+    # executor hash relation, broadcasting it turns each round's
+    # edge⋈labels join map-side — the only exchange left per round is
+    # the ~|V|-row partial-aggregated groupBy-min output. Beyond the
+    # threshold (a 10^9-node web graph) the shuffled join is the right
+    # plan and nothing changes.
+    bcast = row0["n"] <= 10_000_000
     for _ in range(max_rounds):
         # the convergence checksum rides the checkpoint materialization as
         # an observed metric — one job per round, not two
         obs = Observation()
+        lab = F.broadcast(labels) if bcast else labels
         labels = (
-            prop.join(labels, prop["dst"] == labels["id"])
+            prop.join(lab, prop["dst"] == lab["id"])
             .groupBy("src")
             .agg(F.min("component").alias("component"))
             .select(F.col("src").alias("id"), "component")

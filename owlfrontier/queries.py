@@ -241,7 +241,7 @@ def q_neardup_jaccard(spark, sf_dir):
     Declared BASELINE — the corpus-wide exact path is
     :func:`q_ngram_jaccard_pairs` (prefix-filtered candidate generation),
     and the sketch path is MinHash+LSH (:func:`q_minhash_lsh_pairs`)."""
-    w = _docs(spark, sf_dir).select(
+    w = _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
     )
     a = w.select(F.col("doc_id").alias("a_id"), F.col("ws").alias("aw"))
@@ -1496,7 +1496,7 @@ def q_text_quality(spark, sf_dir):
     """Quality scoring: token counts, punctuation and stopword ratios —
     integer-exact numerators/denominators, division at the end."""
     stop_arr = ",".join(f"'{w}'" for w in STOPWORDS)
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         "doc_id",
         F.split("text", " ").alias("ws"),
         F.length("text").alias("n_chars_measured"),
@@ -1556,7 +1556,7 @@ def q_lang_id(spark, sf_dir):
         + f"), w))) > 0 THEN '{lang}'"
         for lang, ms in _LANG_MARKERS.items()
     )
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         "lang", F.split("text", " ").alias("ws")
     ).withColumn("predicted", F.expr(f"CASE {cases} ELSE 'unknown' END"))
     return d.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1583,7 +1583,7 @@ _BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + a BPE-ish regex tokenizer."""
-    return _docs(spark, sf_dir).select(
+    return _spread(_docs(spark, sf_dir)).select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(_BPE_REGEX), 0))
@@ -1604,7 +1604,7 @@ def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: rolling polynomial hash over the word
     stream (integer-exact, order-sensitive — a true fingerprint)."""
     word_h = f"pmod({_h60('w')}, 1000003)"
-    return _docs(spark, sf_dir).select(
+    return _spread(_docs(spark, sf_dir)).select(
         "doc_id",
         F.expr(
             f"aggregate(transform(split(text, ' '), w -> {word_h}), "
@@ -1633,7 +1633,7 @@ def q_gopher_repetition(spark, sf_dir):
     raw token stream; every numerator/denominator is integer-exact."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.split("text", " ").alias("ws")
     )
     base = d.select(
@@ -1657,19 +1657,25 @@ def q_gopher_repetition(spark, sf_dir):
     gc = grams.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # r6 (guide §2.4): totals, dup-instance mass AND the top gram come out
+    # of ONE groupBy(doc_id) — min_by on the (-cnt, gram) key is exactly
+    # the old window's (cnt DESC, gram ASC) row_number()=1 pick, so the
+    # separate window sort + second per-doc join are gone (4 exchanges +
+    # a sort → 2 exchanges)
     agg = gc.groupBy("doc_id").agg(
         F.sum("cnt").cast("bigint").alias("total_grams"),
         F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
         .cast("bigint").alias("dup_gram_inst"),
+        F.min_by(
+            F.struct(F.col("gram"), F.col("cnt")),
+            F.struct((-F.col("cnt")).alias("nc"), F.col("gram")),
+        ).alias("_top"),
+    ).select(
+        "doc_id", "total_grams", "dup_gram_inst",
+        F.col("_top.gram").alias("top2_gram"),
+        F.col("_top.cnt").cast("bigint").alias("top2_cnt"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
-    top = (
-        gc.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("doc_id", F.col("gram").alias("top2_gram"),
-                F.col("cnt").cast("bigint").alias("top2_cnt"))
-    )
-    out = base.join(agg, "doc_id", "left").join(top, "doc_id", "left")
+    out = base.join(agg, "doc_id", "left")
     return out.select(
         "doc_id", "n_tokens", "n_distinct",
         F.round(
@@ -1771,7 +1777,7 @@ def q_webtext_filters(spark, sf_dir):
     content gates, terminal-punctuation flag (reported, not gating —
     the synthetic corpus carries none), and the composed keep decision.
     Pure column expressions — one scan, zero shuffle, pushdown-friendly."""
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         "doc_id",
         F.split("text", " ").alias("ws"),
         F.col("text"),
@@ -2346,7 +2352,7 @@ def q_neardup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup: adjacent-id pairs scored by cosine over
     integer-quantized vectors (sums of quantized ints are order-stable and
     engine-exact, unlike float sums), thresholded at 0.0."""
-    e = _emb(spark, sf_dir).select(
+    e = _spread(_emb(spark, sf_dir)).select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
@@ -2432,7 +2438,7 @@ def q_props_json(spark, sf_dir):
     extracted integer and count (json-function coverage)."""
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
-        _events(spark, sf_dir)
+        _spread(_events(spark, sf_dir))
         .select((k - (k % 10)).alias("k_bucket"))
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2488,24 +2494,43 @@ def q_dup_ngram_frac(spark, sf_dir):
     combinable. Numerators/denominators integer-exact; only the final
     ratio is rounded."""
     n = _DUPGRAM_N
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.split("text", " ").alias("ws")
     )
+    # r6 (guide §2.3/§2.4): grams ride as xxhash64 bigints (the string is
+    # only an equality identity here — nothing downstream returns it), the
+    # post-distinct count is a plain count (the rows are already
+    # (doc,gram)-distinct; countDistinct added an expand+second agg), and
+    # the join BACK of corpus doc-frequencies onto the posting rows is
+    # replaced by the complement: shared = n_grams − (grams this doc owns
+    # uniquely), where a gram's unique owner is min(doc_id) when its doc
+    # count is 1 — one tiny aggregate instead of a 2.6M-row equi-join.
+    # (A 64-bit gram collision could merge two grams' counts, P ≈ 1e-9 at
+    # sf1.0; hash-match vs the string-exact DuckDB oracle is verified at
+    # every shipped sf.)
     grams = d.select(
         "doc_id", F.explode(F.expr(_gram_expr(n))).alias("gram")
-    ).distinct()
-    gdf = grams.groupBy("gram").agg(
-        F.countDistinct("doc_id").alias("gram_docs")
+    ).select("doc_id", F.xxhash64("gram").alias("g8")).distinct()
+    grams = grams.localCheckpoint(eager=False)  # shared by both aggs
+    gdf = grams.groupBy("g8").agg(
+        F.count(F.lit(1)).alias("gram_docs"),
+        F.min("doc_id").alias("owner"),
     )
-    per_doc = (
-        grams.join(gdf, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(F.when(F.col("gram_docs") > 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("shared_grams"),
-        )
+    uniq = (
+        gdf.where(F.col("gram_docs") == 1)
+        .groupBy("owner")
+        .agg(F.count(F.lit(1)).alias("uniq_grams"))
+        .withColumnRenamed("owner", "doc_id")
+    )
+    ng = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    per_doc = ng.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        (F.col("n_grams") - F.coalesce("uniq_grams", F.lit(0)))
+        .cast("bigint")
+        .alias("shared_grams"),
     )
     return (
         d.select("doc_id")
@@ -2559,7 +2584,7 @@ def q_decontaminate(spark, sf_dir):
     left-semi probe and one per-doc aggregation — no shuffle of the
     corpus on the gram key and never an all-pairs comparison."""
     n = _DECON_N
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.split("text", " ").alias("ws")
     )
     grams = d.select(
@@ -2652,7 +2677,7 @@ def q_pii_scrub(spark, sf_dir):
         _PII_PHONE,
         "<PHONE>",
     )
-    return _docs(spark, sf_dir).select(
+    return _spread(_docs(spark, sf_dir)).select(
         "doc_id",
         F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL), 0))
         .cast("bigint")
@@ -2702,7 +2727,7 @@ def q_bm25_topk(spark, sf_dir):
     explode of the corpus); one groupBy(doc_id) sum; TakeOrdered top-K
     with a deterministic (score desc, doc_id) tiebreak."""
     terms = _BM25_TERMS
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.split("text", " ").alias("ws")
     ).withColumn("dl", F.size("ws").cast("bigint"))
     stats = d.agg(
@@ -3030,7 +3055,7 @@ def q_bpe_merge_pairs(spark, sf_dir):
     iterates this query against an updating symbol table; each
     iteration stays this exact shape."""
     pairs = (
-        _docs(spark, sf_dir)
+        _spread(_docs(spark, sf_dir))
         .select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.length("w") >= 2)
         .select(
@@ -3247,7 +3272,7 @@ def q_paragraph_dedup(spark, sf_dir):
     per-doc reassembly groupBy. Nothing is pairwise; the dedup key is
     the block itself."""
     pw = _PARA_WORDS
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ws"))
+    d = _spread(_docs(spark, sf_dir)).select("doc_id", F.split("text", " ").alias("ws"))
     blocks = d.select(
         "doc_id",
         F.posexplode(
@@ -3327,7 +3352,7 @@ def q_doc_chunks(spark, sf_dir):
     ``slice`` per window, zero shuffle and zero UDF; the per-chunk md5
     lets the oracle pin the exact chunk bytes."""
     ch, st = _CHUNK_TOK, _CHUNK_STRIDE
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ws"))
+    d = _spread(_docs(spark, sf_dir)).select("doc_id", F.split("text", " ").alias("ws"))
     # windows = (max(n - ch, 0) + st - 1) div st + 1  (>=1, covers all)
     nc = F.expr(
         f"(greatest(size(ws) - {ch}, 0) + {st - 1}) div {st} + 1"
@@ -3395,7 +3420,7 @@ def q_domain_blocklist(spark, sf_dir):
     never shuffled on the host key and the blocklist (thousands of
     rows in production) stays a map-side hash table."""
     host = F.expr(_BLOCK_HOST_SPARK)
-    d = _docs(spark, sf_dir).select("doc_id", host.alias("host"))
+    d = _spread(_docs(spark, sf_dir)).select("doc_id", host.alias("host"))
     sufs = d.select(
         "doc_id",
         F.explode(
