@@ -47,28 +47,61 @@ def _labels_by_propagation(
     # N(u) ∪ {u} in one aggregation — instead of the old
     # neighbor-join + groupBy + second left-join-with-least shape
     # (same per-round labels, ~half the exchanges per round).
-    sym = _symmetric(edges)
-    prop = sym.unionAll(
-        nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    #
+    # r6 contraction prepass: near-dup pair graphs are DENSE (the ann
+    # pair graph at sf1.0 is ~4 M edges over 20 k nodes), and label
+    # propagation pays one |E| pass PER ROUND. One exact min-neighbor
+    # contraction — map every node u to m(u) = min(N(u) ∪ {u}), the
+    # large-star hang of Kiveris et al. — then propagate on the
+    # contracted supernode graph {(m(u), m(v)) : (u,v) ∈ E}, whose
+    # edge set collapses map-side in the distinct's partial aggregate
+    # (near-clique components contract to a handful of supernode
+    # edges). Correctness: m(u) is in u's component; mapped paths stay
+    # paths, consecutive mapped edges sharing m(u_i), so contracted
+    # components are exactly the images of original components; the
+    # original component min w has m(w) = w, so supernode-component
+    # minima ARE the original minima, and label(u) = label'(m(u)).
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    m = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = nodes.join(m, nodes["id"] == m["src"], "left").select(
+        "id",
+        F.least(F.col("id"), F.coalesce("mn", F.col("id"))).alias("m"),
     ).localCheckpoint(eager=True)
-    labels = nodes.select(
+    n_nodes = m.count()
+    # node-keyed maps are |V| rows of two bigints; when that fits an
+    # executor hash relation, broadcasting makes the per-round (and
+    # contraction) joins map-side — the only exchange left per round is
+    # the partial-aggregated groupBy-min output. Beyond the threshold
+    # (a 10^9-node web graph) the shuffled joins are the right plan.
+    bcast = n_nodes <= 10_000_000
+    mm = F.broadcast(m) if bcast else m
+    e2 = (
+        sym.join(
+            mm.select(F.col("id").alias("src"), F.col("m").alias("ms")),
+            "src",
+        )
+        .join(
+            mm.select(F.col("id").alias("dst"), F.col("m").alias("md")),
+            "dst",
+        )
+        .select(F.col("ms").alias("src"), F.col("md").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    supernodes = m.select(F.col("m").alias("id")).distinct()
+    # e2 is already symmetric (sym carried both directions through the
+    # mapping), so only the supernode self-loops are unioned in
+    prop = e2.unionAll(
+        supernodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = supernodes.select(
         "id", F.col("id").alias("component")
     ).localCheckpoint(eager=True)
     # decimal sum: overflow-proof change detector (strictly decreases while
-    # any label changes, so equal sums == fixpoint). count rides the same
-    # aggregate: it gates the broadcast decision below for free.
-    row0 = labels.agg(
-        F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    prev = row0["s"]
-    # the labels table is |V| rows of two bigints; when that fits an
-    # executor hash relation, broadcasting it turns each round's
-    # edge⋈labels join map-side — the only exchange left per round is
-    # the ~|V|-row partial-aggregated groupBy-min output. Beyond the
-    # threshold (a 10^9-node web graph) the shuffled join is the right
-    # plan and nothing changes.
-    bcast = row0["n"] <= 10_000_000
+    # any label changes, so equal sums == fixpoint)
+    prev = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _ in range(max_rounds):
         # the convergence checksum rides the checkpoint materialization as
         # an observed metric — one job per round, not two
@@ -89,7 +122,11 @@ def _labels_by_propagation(
         if cur == prev:
             break
         prev = cur
-    return labels
+    # map every original node through its supernode's final label
+    lab = F.broadcast(labels) if bcast else labels
+    return m.join(lab, m["m"] == lab["id"]).select(
+        m["id"].alias("id"), "component"
+    )
 
 
 def _star_checksum(down: DataFrame):

@@ -3159,14 +3159,35 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         F.size("hs").alias("sa"),
     )
     sets = sets.localCheckpoint(eager=False)  # shared by prefix + verify
-    # prefix length |S| - ceil(τ|S|) + 1; at τ=1/2 this is |S| div 2 + 1
+    # ASYMMETRIC prefixes (PPJoin indexing, Xiao et al. VLDB'08): the
+    # PROBE side uses the basic prefix |S| - ceil(τ|S|) + 1, the INDEX
+    # side only |S| - ceil(2τ/(1+τ)·|S|) + 1, and a candidate row is
+    # generated only when the indexed doc is the lexicographically
+    # (size, id)-SMALLER side. Completeness: for a true pair with
+    # sb ≤ sa, overlap o ≥ ceil(τ/(1+τ)(sa+sb)) ≥ ceil(2τ/(1+τ)·sb)
+    # and (via the length filter sb ≥ τ·sa) o ≥ ceil(τ·sa); the
+    # MINIMAL shared digest g has ≥ o−1 shared digests after it in BOTH
+    # arrays, so pos_A(g) ≤ sa−o+1 ≤ probe-prefix(A) and pos_B(g) ≤
+    # sb−o+1 ≤ index-prefix(B) simultaneously — the join on g emits the
+    # pair. Extra candidates only ever ADD verify work; the exact τ
+    # gate removes them, so the result set is unchanged (τ=1/2: probe
+    # ~|S|/2, index ~|S|/3 — ~40% fewer candidate rows).
     plen = F.expr(
         f"sa - cast(ceil({_JACC_NUM} * sa / {_JACC_DEN}) as int) + 1"
+    )
+    ilen = F.expr(
+        f"sa - cast(ceil(2 * {_JACC_NUM} * sa / "
+        f"({_JACC_NUM} + {_JACC_DEN})) as int) + 1"
     )
     pref = sets.select(
         "doc_id",
         "sa",
         F.posexplode(F.slice("h8", F.lit(1), plen)).alias("pos", "pk"),
+    )
+    idx = sets.select(
+        "doc_id",
+        "sa",
+        F.posexplode(F.slice("h8", F.lit(1), ilen)).alias("pos", "pk"),
     )
     # length filter (PPJoin): J >= τ implies τ·max(|A|,|B|) <= min(|A|,|B|)
     # — prunes size-incompatible candidates BEFORE the distinct+verify
@@ -3189,12 +3210,19 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             F.col("a.sa") - F.col("a.pos"), F.col("b.sa") - F.col("b.pos")
         )
     ) >= alpha
+    # indexed side strictly (size, id)-smaller: excludes self-matches and
+    # names each unordered pair once per shared prefix digest
+    lex = (F.col("b.sa") < F.col("a.sa")) | (
+        (F.col("b.sa") == F.col("a.sa"))
+        & (F.col("b.doc_id") < F.col("a.doc_id"))
+    )
     cand = (
         pref.alias("a")
-        .join(pref.alias("b"), F.col("a.pk") == F.col("b.pk"))
-        .where((F.col("a.doc_id") < F.col("b.doc_id")) & len_ok & pos_ok)
+        .join(idx.alias("b"), F.col("a.pk") == F.col("b.pk"))
+        .where(lex & len_ok & pos_ok)
         .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
         )
         .distinct()
     )
