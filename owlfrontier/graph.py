@@ -30,8 +30,21 @@ from pyspark.sql import functions as F
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
-    """(src, dst) → both directions, self-loops dropped."""
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    """(src, dst) → both directions, self-loops dropped.
+
+    The one-directional edge list is localCheckpointed BEFORE the union:
+    ``e`` appears in BOTH union branches, and Spark does not
+    common-subexpression-eliminate identical subtrees across branches —
+    without the checkpoint the whole upstream pair-generation pipeline
+    (e.g. the banded-LSH candidate join + exact-cosine gate feeding
+    ``q_ann_dedup_clusters``) executes twice in whatever job first
+    materializes the symmetric edges (measured at sf1.0: a full second
+    pairs pass, ~13 s). Checkpointing |E| once is strictly cheaper than
+    materializing the 2|E| union, and the union above it stays lazy —
+    downstream readers recompute it from the in-memory checkpoint."""
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).localCheckpoint(eager=True)
     return e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -61,13 +74,21 @@ def _labels_by_propagation(
     # components are exactly the images of original components; the
     # original component min w has m(w) = w, so supernode-component
     # minima ARE the original minima, and label(u) = label'(m(u)).
-    sym = _symmetric(edges).localCheckpoint(eager=True)
-    m = sym.groupBy("src").agg(F.min("dst").alias("mn"))
-    m = nodes.join(m, nodes["id"] == m["src"], "left").select(
+    # _symmetric checkpoints the one-directional edge list; the union
+    # itself stays lazy (recomputed from the checkpoint by each reader —
+    # cheaper than materializing 2|E| a second time)
+    sym = _symmetric(edges)
+    mn = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    # the node count (broadcast gate) rides the checkpoint
+    # materialization as an observed metric — no separate count job (r6)
+    obs_m = Observation()
+    m = nodes.join(mn, nodes["id"] == mn["src"], "left").select(
         "id",
         F.least(F.col("id"), F.coalesce("mn", F.col("id"))).alias("m"),
+    ).observe(
+        obs_m, F.count(F.lit(1)).alias("n")
     ).localCheckpoint(eager=True)
-    n_nodes = m.count()
+    n_nodes = obs_m.get["n"]
     # node-keyed maps are |V| rows of two bigints; when that fits an
     # executor hash relation, broadcasting makes the per-round (and
     # contraction) joins map-side — the only exchange left per round is
@@ -91,27 +112,44 @@ def _labels_by_propagation(
     supernodes = m.select(F.col("m").alias("id")).distinct()
     # e2 is already symmetric (sym carried both directions through the
     # mapping), so only the supernode self-loops are unioned in
+    # the round-0 convergence checksum (identity labels: each supernode id
+    # once) rides the prop checkpoint as an observed metric — the
+    # supernode self-loop rows are exactly the src==dst rows of prop
+    # (e2 excludes them), so the conditional sum counts each supernode
+    # exactly once. No separate agg job (r6).
+    obs_p = Observation()
     prop = e2.unionAll(
         supernodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = supernodes.select(
-        "id", F.col("id").alias("component")
+    ).observe(
+        obs_p,
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.col("src"))
+            .cast("decimal(38,0)")
+        ).alias("s0"),
     ).localCheckpoint(eager=True)
     # decimal sum: overflow-proof change detector (strictly decreases while
-    # any label changes, so equal sums == fixpoint)
-    prev = labels.agg(
-        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    # any label changes, so equal sums == fixpoint). Round 1 needs no
+    # labels join at all — joining identity labels on dst reduces to
+    # min(dst) over prop directly, so the init labels table is never
+    # materialized (r6; two fewer fixed jobs per clustering query, same
+    # label trajectory round-for-round).
+    prev = obs_p.get["s0"]
+    labels = None
     for _ in range(max_rounds):
         # the convergence checksum rides the checkpoint materialization as
         # an observed metric — one job per round, not two
         obs = Observation()
-        lab = F.broadcast(labels) if bcast else labels
+        if labels is None:
+            nxt = prop.groupBy("src").agg(F.min("dst").alias("component"))
+        else:
+            lab = F.broadcast(labels) if bcast else labels
+            nxt = (
+                prop.join(lab, prop["dst"] == lab["id"])
+                .groupBy("src")
+                .agg(F.min("component").alias("component"))
+            )
         labels = (
-            prop.join(lab, prop["dst"] == lab["id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("component"))
-            .select(F.col("src").alias("id"), "component")
+            nxt.select(F.col("src").alias("id"), "component")
             .observe(
                 obs,
                 F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
@@ -122,6 +160,8 @@ def _labels_by_propagation(
         if cur == prev:
             break
         prev = cur
+    if labels is None:  # max_rounds == 0: identity labels
+        labels = supernodes.select("id", F.col("id").alias("component"))
     # map every original node through its supernode's final label
     lab = F.broadcast(labels) if bcast else labels
     return m.join(lab, m["m"] == lab["id"]).select(

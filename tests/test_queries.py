@@ -590,11 +590,14 @@ def test_canonical_url_combinatorial_grid(spark):
 
 def test_new_ops_plan_shapes(spark):
     """Plan-regression pins for the round-5 additions' scale claims:
-    doc_chunks is a pure scan (ZERO exchanges), domain_blocklist probes
-    the blocklist via a BROADCAST join (the corpus is never shuffled on
-    the host key), and paragraph_dedup's winner aggregation is a
-    partial-aggregating hash agg (map-side combine before its one
-    block-keyed exchange)."""
+    doc_chunks is a pure scan-stage projection — ZERO hash/range
+    exchanges (r6: the `_spread` round-robin repartition is allowed; it
+    spreads the unsplittable single-row-group sandbox scan across tasks
+    and moves each raw row once with no key, no sort, no aggregation),
+    domain_blocklist probes the blocklist via a BROADCAST join (the
+    corpus is never shuffled on the host key), and paragraph_dedup's
+    winner aggregation is a partial-aggregating hash agg (map-side
+    combine before its one block-keyed exchange)."""
     from owlfrontier import queries as Q
 
     def plan_of(df):
@@ -604,7 +607,10 @@ def test_new_ops_plan_shapes(spark):
         )
 
     chunks = plan_of(Q.q_doc_chunks(spark, SF_DIR))
-    assert "Exchange" not in chunks
+    assert "Exchange hashpartitioning" not in chunks
+    assert "Exchange rangepartitioning" not in chunks
+    # at most the keyless _spread round-robin; never a keyed shuffle
+    assert chunks.count("Exchange") <= 1
 
     block = plan_of(Q.q_domain_blocklist(spark, SF_DIR))
     assert "BroadcastHashJoin" in block or "BroadcastNestedLoop" in block
