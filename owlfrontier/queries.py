@@ -1344,6 +1344,10 @@ SELECT a_id, b_id, cos_q FROM s WHERE cos_q >= {_LSH_PAIR_COS}
 
 _LSH_BANDS = 4
 _LSH_BAND_PLANES = 4  # bands × band-planes == _LSH_PLANES (16)
+# Arrow-dot gate: above this the quantized-vector matrix no longer
+# belongs in a broadcast (2M × 64 × 8 B ≈ 1 GB) and the banded verify
+# keeps the pure-Catalyst HOF fold
+_ARROW_DOT_MAX_VECS = 2_000_000
 
 
 def q_ann_lsh_pairs_banded(spark, sf_dir):
@@ -1389,10 +1393,17 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
     # bit-identical to the per-pair formulation)
     norm = ("sqrt(cast(aggregate(transform(q, x -> x * x), "
             "cast(0 as bigint), (acc, v) -> acc + v) as double))")
+    from pyspark.sql import Observation
+
+    # vector count rides the checkpoint job — gates the Arrow-dot path
+    # below on the same fits-in-a-broadcast posture the norm joins assume
+    _obs_bk = Observation()
     bk = quant.select(
         "vec_id", "q", F.expr(bucket).alias("bucket"),
         F.expr(norm).alias("rn"),
-    ).localCheckpoint(eager=True)
+    ).observe(_obs_bk, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
     band_keys = F.array(*[
         F.struct(
             F.lit(b).cast("bigint").alias("band"),
@@ -1429,6 +1440,69 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
         .where(F.col("band") == F.expr(first_band))
         .select("a_id", "b_id")
     )
+    # -- exact integer dot per candidate pair ------------------------------
+    # r6 second revision (guide §4.2): the zip_with/aggregate fold was
+    # measured as THE wall of this query — at sf1.0 the 46 M candidate
+    # pairs cost 13.5 s in per-element interpreted lambda dispatch while
+    # the entire candidate join + array attach was 1.8 s. The dot product
+    # (and ONLY the dot product — an exact int64 sum, bit-identical in
+    # any engine) moves to a vectorized numpy `mapInArrow`: just the
+    # (a_id, b_id) pairs cross the Python boundary (16 bytes/row), the
+    # quantized vectors ride a Spark broadcast as one (n × dim) int64
+    # matrix fetched once per executor, and each Arrow batch is two
+    # searchsorted gathers + one einsum in C. cos/round/threshold stay
+    # in the JVM on the same broadcast-attached norms as before, so the
+    # double math is unchanged expression-for-expression. Gated on the
+    # vector-table size: beyond _ARROW_DOT_MAX_VECS (the same "fits in
+    # a broadcast" posture the array-attach joins already assume) the
+    # HOF-fold path below is the plan, unchanged from r6-rev1.
+    n_vec = _obs_bk.get["n"]
+    if n_vec <= _ARROW_DOT_MAX_VECS:
+        va_n = F.broadcast(bk.select(
+            F.col("vec_id").alias("a_id"), F.col("rn").alias("rna"),
+        ))
+        vb_n = F.broadcast(bk.select(
+            F.col("vec_id").alias("b_id"), F.col("rn").alias("rnb"),
+        ))
+        import numpy as np
+
+        tbl = bk.select("vec_id", "q").toArrow()
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        qcol = tbl.column("q").combine_chunks()
+        qmat = qcol.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(ids) if len(ids) else 0, dim
+        ).astype(np.int64, copy=False)
+        order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[order]
+        qmat_sorted = np.ascontiguousarray(qmat[order])
+        bc = spark.sparkContext.broadcast((ids_sorted, qmat_sorted))
+
+        def _dot_batches(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            ids_s, qs = bc.value
+            for batch in batches:
+                a = batch.column(0).to_numpy(zero_copy_only=False)
+                b_ = batch.column(1).to_numpy(zero_copy_only=False)
+                ai = np.searchsorted(ids_s, a)
+                bi = np.searchsorted(ids_s, b_)
+                d = np.einsum("ij,ij->i", qs[ai], qs[bi])
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0), batch.column(1),
+                     pa.array(d, type=pa.int64())],
+                    names=["a_id", "b_id", "dot"],
+                )
+
+        withdot = cand.mapInArrow(
+            _dot_batches, "a_id bigint, b_id bigint, dot bigint"
+        )
+        cos = F.expr("cast(dot as double) / (rna * rnb)")
+        return (
+            withdot.join(va_n, "a_id").join(vb_n, "b_id")
+            .select("a_id", "b_id", F.round(cos, 6).alias("cos_q"))
+            .where(F.col("cos_q") >= _LSH_PAIR_COS)
+        )
     va = F.broadcast(bk.select(
         F.col("vec_id").alias("a_id"), F.col("q").alias("qa"),
         F.col("rn").alias("rna"),
