@@ -1348,6 +1348,9 @@ _LSH_BAND_PLANES = 4  # bands × band-planes == _LSH_PLANES (16)
 # belongs in a broadcast (2M × 64 × 8 B ≈ 1 GB) and the banded verify
 # keeps the pure-Catalyst HOF fold
 _ARROW_DOT_MAX_VECS = 2_000_000
+# Arrow-intersect gate (q_ngram_jaccard_pairs): the padded sorted
+# doc × gram-id matrix must stay broadcastable — 2^27 int64 cells = 1 GB
+_ARROW_INTERSECT_MAX_CELLS = 134_217_728
 
 
 def q_ann_lsh_pairs_banded(spark, sf_dir):
@@ -3232,7 +3235,15 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         F.expr("transform(hs, x -> xxhash64(x))").alias("h8"),
         F.size("hs").alias("sa"),
     )
-    sets = sets.localCheckpoint(eager=False)  # shared by prefix + verify
+    # shared by prefix + verify; eager (r6-rev2) so the doc-count
+    # observation below resolves at construction and the Arrow verify can
+    # collect the digest table from the materialized checkpoint
+    from pyspark.sql import Observation
+
+    _obs_sets = Observation()
+    sets = sets.observe(
+        _obs_sets, F.count(F.lit(1)).alias("n"), F.max("sa").alias("mx")
+    ).localCheckpoint(eager=True)
     # ASYMMETRIC prefixes (PPJoin indexing, Xiao et al. VLDB'08): the
     # PROBE side uses the basic prefix |S| - ceil(τ|S|) + 1, the INDEX
     # side only |S| - ceil(2τ/(1+τ)·|S|) + 1, and a candidate row is
@@ -3300,6 +3311,128 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         )
         .distinct()
     )
+    # -- exact verification ------------------------------------------------
+    # r6 second revision (guide §4.2, the same measurement story as the
+    # banded-LSH dot product): at sf1.0 the per-candidate
+    # array_intersect over ~33 M pairs was 12-15 s of the query — the
+    # OpenHashSet build/probe per row is ~60 ns/element over
+    # ~194 elements/pair. The intersection COUNT (and only it — an exact
+    # integer) moves to a vectorized numpy `mapInArrow`: grams are
+    # dictionary-encoded to dense int32 ids on the n-row digest table
+    # (driver-side, the same fits-in-a-broadcast posture the old
+    # broadcast array-attach already assumed), each doc becomes one
+    # SORTED padded row of a (n × Lmax) matrix — probe side padded with
+    # even ids past the universe, index side with odd, so pads can never
+    # match — and a batch of pairs is two row gathers plus ONE flat
+    # np.searchsorted over row-offset-shifted values (rows occupy
+    # disjoint value ranges, so the flattened index side is globally
+    # sorted). τ gate / union / jaccard stay in the JVM on broadcast-
+    # attached set sizes, expression-identical to before. Intra-doc
+    # xxhash64 collisions (which array_intersect would count once) are
+    # deduplicated during matrix build, so the count semantics match
+    # exactly. Gated on doc count and matrix cells; beyond the gate the
+    # JVM array_intersect path below is the plan, unchanged.
+    n_docs = _obs_sets.get["n"]
+    max_len = _obs_sets.get["mx"] or 0
+    va_n = F.broadcast(sets.select(
+        F.col("doc_id").alias("a_id"), F.col("sa").alias("na"),
+    ))
+    vb_n = F.broadcast(sets.select(
+        F.col("doc_id").alias("b_id"), F.col("sa").alias("nb"),
+    ))
+    if (
+        n_docs <= _ARROW_DOT_MAX_VECS
+        and n_docs * max(max_len, 1) <= _ARROW_INTERSECT_MAX_CELLS
+    ):
+        import numpy as np
+
+        import pyarrow.compute as pc
+
+        tbl = sets.select("doc_id", "h8").toArrow()
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        col = tbl.column("h8").combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        uniq = np.unique(vals)
+        n_uniq = len(uniq)
+        lmax = int(lens.max()) if len(lens) else 0
+        # pad ids live at [n_uniq, n_uniq + 2*lmax): even = probe side,
+        # odd = index side — never equal to a real code or to each other
+        pads_a = n_uniq + 2 * np.arange(lmax, dtype=np.int64)
+        pads_b = pads_a + 1
+        order = np.argsort(ids, kind="stable")
+        row_of = np.empty(len(ids), dtype=np.int64)
+        row_of[order] = np.arange(len(ids))
+        ga = np.tile(pads_a, (len(ids), 1))
+        rix = np.repeat(row_of, lens)
+        cix = np.arange(len(vals)) - np.repeat(offs[:-1], lens)
+        ga[rix, cix] = np.searchsorted(uniq, vals)
+        ga.sort(axis=1, kind="stable")
+        dup = ga[:, 1:] == ga[:, :-1]
+        if dup.any():  # intra-doc xxhash64 collision: count once, like
+            ga[:, 1:][dup] = np.repeat(  # array_intersect — re-pad + re-sort
+                pads_a[None, :], len(ids), axis=0
+            )[:, 1:][dup]
+            ga.sort(axis=1, kind="stable")
+        gb = np.where(ga >= n_uniq, ga + 1, ga)  # odd pads for the B side
+        ids_sorted = ids[order]
+        # int32 matrices (gate guarantees n_uniq + 2*lmax + 2 < 2^31):
+        # halves the broadcast and the per-batch sort traffic — measured
+        # 3.2x on the kernel vs int64 offset-searchsorted
+        bc = spark.sparkContext.broadcast(
+            (ids_sorted, ga.astype(np.int32), gb.astype(np.int32))
+        )
+
+        def _inter_batches(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            ids_s, ga_, gb_ = bc.value
+            for batch in batches:
+                a = batch.column(0).to_numpy(zero_copy_only=False)
+                b_ = batch.column(1).to_numpy(zero_copy_only=False)
+                m = len(a)
+                if m == 0 or ga_.size == 0:
+                    inter = np.zeros(m, dtype=np.int64)
+                else:
+                    ai = np.searchsorted(ids_s, a)
+                    bi = np.searchsorted(ids_s, b_)
+                    # per-pair concat of the two sorted unique rows; the
+                    # rowwise stable sort merges the two runs in O(L),
+                    # and adjacent equality == shared real gram id
+                    # (probe pads are even past the universe, index pads
+                    # odd — pads never match anything)
+                    c = np.concatenate([ga_[ai], gb_[bi]], axis=1)
+                    c.sort(axis=1, kind="stable")
+                    inter = (c[:, 1:] == c[:, :-1]).sum(
+                        axis=1, dtype=np.int64
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0), batch.column(1),
+                     pa.array(inter, type=pa.int64())],
+                    names=["a_id", "b_id", "inter_n"],
+                )
+
+        withint = cand.mapInArrow(
+            _inter_batches, "a_id bigint, b_id bigint, inter_n bigint"
+        )
+        inter = F.col("inter_n")
+        union = F.col("na") + F.col("nb") - inter
+        return (
+            withint.join(va_n, "a_id")
+            .join(vb_n, "b_id")
+            .where(_JACC_DEN * inter >= _JACC_NUM * union)
+            .select(
+                "a_id",
+                "b_id",
+                inter.cast("bigint").alias("inter"),
+                union.cast("bigint").alias("union_sz"),
+                F.round(inter / union, 6).alias("jaccard"),
+            )
+        )
     va = F.broadcast(sets.select(
         F.col("doc_id").alias("a_id"),
         F.col("h8").alias("ha"),
