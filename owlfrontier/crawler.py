@@ -253,6 +253,16 @@ class CrawlEngine:
             self.store.write_gen(frontier, "frontier", 0)
             frontier = self.store.read_gen("frontier", 0)
 
+        # the (url, score) priority table is static across generations but
+        # was re-derived from its source plan (e.g. a pages-table
+        # projection) by every generation's budget join — persist it for
+        # the duration of the run (r6; materializes lazily inside the
+        # first generation's job, freed at run end)
+        scores_pinned = False
+        if self._scores is not None and cfg.priority == "score":
+            self._scores = self._scores.persist()
+            scores_pinned = True
+
         frontier_size = frontier.count()
         while g < cfg.max_generations:
             t_gen = time.time()
@@ -282,6 +292,8 @@ class CrawlEngine:
             frontier = self.store.read_gen("frontier", g + 1)
             frontier_size = m["next_frontier"]
             g += 1
+        if scores_pinned:
+            self._scores.unpersist()
         return self._summary(crawled_gens, metrics)
 
     def add_seeds(self, seeds: list[str] | DataFrame) -> int:
