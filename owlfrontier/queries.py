@@ -969,8 +969,15 @@ def q_ann_ivf_topk(spark, sf_dir, nprobe: int = _IVF_NPROBE,
     dq = quant.select("vec_id", "v", F.expr(dists).alias("d"))
     inv = dq.select(
         F.col("vec_id").alias("neighbor_id"),
+        # coalesce is a value-level no-op (d is a non-empty literal-sized
+        # array, so the argmin can never be null) but it makes the join
+        # key NON-NULLABLE — without it the planner pushes an
+        # isnotnull(cid) filter below the _spread exchange that re-runs
+        # the whole K×dim fold per row ON THE UNSPLIT SCAN, i.e.
+        # single-threaded (measured: 5.1 s join stage → 1.5 s)
         F.expr(
-            "cast(array_position(d, array_min(d)) - 1 as bigint)"
+            "coalesce(cast(array_position(d, array_min(d)) - 1 as bigint),"
+            " -1L)"
         ).alias("cid"),
         F.col("v").alias("nv"),
         F.expr(nn_).alias("nn"),
