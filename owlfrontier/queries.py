@@ -1352,12 +1352,15 @@ SELECT a_id, b_id, cos_q FROM s WHERE cos_q >= {_LSH_PAIR_COS}
 _LSH_BANDS = 4
 _LSH_BAND_PLANES = 4  # bands × band-planes == _LSH_PLANES (16)
 # Arrow-dot gate: above this the quantized-vector matrix no longer
-# belongs in a broadcast (2M × 64 × 8 B ≈ 1 GB) and the banded verify
-# keeps the pure-Catalyst HOF fold
-_ARROW_DOT_MAX_VECS = 2_000_000
+# belongs in a driver collect + broadcast (1M × 64 × 8 B = 512 MB —
+# a 2× margin under the default 1 GB spark.driver.maxResultSize, so an
+# sf-escalated bench run degrades to the pure-Catalyst HOF fold instead
+# of failing the collect) and the banded verify keeps the HOF fold
+_ARROW_DOT_MAX_VECS = 1_000_000
 # Arrow-intersect gate (q_ngram_jaccard_pairs): the padded sorted
-# doc × gram-id matrix must stay broadcastable — 2^27 int64 cells = 1 GB
-_ARROW_INTERSECT_MAX_CELLS = 134_217_728
+# doc × gram-id matrix must stay collectable/broadcastable —
+# 2^26 int64 cells = 512 MB, same 2× maxResultSize margin
+_ARROW_INTERSECT_MAX_CELLS = 67_108_864
 
 
 def q_ann_lsh_pairs_banded(spark, sf_dir):

@@ -621,3 +621,26 @@ def test_new_ops_plan_shapes(spark):
     # two-phase agg: partial HashAggregate before the block exchange
     assert "Exchange hashpartitioning(block" in para
     assert para.count("HashAggregate(keys=[block") >= 2
+
+
+def test_arrow_kernels_equal_jvm_fallback(spark, monkeypatch):
+    """r6: the Arrow-vectorized exact kernels (banded-LSH dot product,
+    n-gram intersection count) are gated on fits-in-a-broadcast sizes
+    and fall back to the pure-Catalyst HOF plans beyond the gate. Both
+    paths must be row-identical — force the fallback by zeroing the
+    gates and compare against the Arrow path on the same inputs."""
+    from owlfrontier import queries as Q
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    arrow_banded = rows(Q.q_ann_lsh_pairs_banded(spark, SF_DIR))
+    arrow_ngram = rows(Q.q_ngram_jaccard_pairs(spark, SF_DIR))
+
+    monkeypatch.setattr(Q, "_ARROW_DOT_MAX_VECS", -1)
+    monkeypatch.setattr(Q, "_ARROW_INTERSECT_MAX_CELLS", -1)
+    jvm_banded = rows(Q.q_ann_lsh_pairs_banded(spark, SF_DIR))
+    jvm_ngram = rows(Q.q_ngram_jaccard_pairs(spark, SF_DIR))
+
+    assert arrow_banded == jvm_banded and len(arrow_banded) > 0
+    assert arrow_ngram == jvm_ngram and len(arrow_ngram) > 0
