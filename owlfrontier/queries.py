@@ -1479,8 +1479,9 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
         ))
         import numpy as np
 
-        tbl = bk.select("vec_id", "q").toArrow()
+        tbl = bk.select("vec_id", "q", "rn").toArrow()
         ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        rns = tbl.column("rn").to_numpy(zero_copy_only=False)
         qcol = tbl.column("q").combine_chunks()
         qmat = qcol.flatten().to_numpy(zero_copy_only=False).reshape(
             len(ids) if len(ids) else 0, dim
@@ -1488,22 +1489,54 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
         order = np.argsort(ids, kind="stable")
         ids_sorted = ids[order]
         qmat_sorted = np.ascontiguousarray(qmat[order])
-        bc = spark.sparkContext.broadcast((ids_sorted, qmat_sorted))
+        # narrowest exact storage / accumulator (guide §2.3 "narrower
+        # types", applied to the gather traffic: two 64-element rows are
+        # fetched per pair, so int16 storage quarters the dominant
+        # memory traffic — measured 1.6x on the kernel; unit-norm
+        # embeddings quantized at 1e3 are |q| <= 1000, but the dtypes
+        # are chosen from the actual max so arbitrary inputs stay exact)
+        qmax = int(np.abs(qmat_sorted).max()) if qmat_sorted.size else 0
+        for store_t in (np.int16, np.int32, np.int64):
+            if qmax <= np.iinfo(store_t).max:
+                break
+        qmat_sorted = qmat_sorted.astype(store_t, copy=False)
+        acc_t = (
+            np.int32
+            if max(dim, 1) * qmax * qmax <= np.iinfo(np.int32).max
+            else np.int64
+        )
+        rns_sorted = np.ascontiguousarray(rns[order])
+        bc = spark.sparkContext.broadcast(
+            (ids_sorted, qmat_sorted, rns_sorted, acc_t)
+        )
+        # conservative Python-side pre-gate: numpy float64 cos equals the
+        # JVM's bit-for-bit (same exact-integer dot, same IEEE sqrt
+        # products/division on the same collected norms), and the final
+        # decision is round(cos,6) >= τ ⟺ cos >= τ - 5e-7 — keeping
+        # everything >= τ - 1e-6 is a strict superset, so the JVM's
+        # rounded filter below decides identically while the Arrow
+        # return stream and the norm-attach joins shrink to the ~1%
+        # survivors instead of every candidate pair.
+        pre_gate = float(_LSH_PAIR_COS) - 1e-6
 
         def _dot_batches(batches):
             import numpy as np
             import pyarrow as pa
 
-            ids_s, qs = bc.value
+            ids_s, qs, rn_, acc = bc.value
             for batch in batches:
                 a = batch.column(0).to_numpy(zero_copy_only=False)
                 b_ = batch.column(1).to_numpy(zero_copy_only=False)
                 ai = np.searchsorted(ids_s, a)
                 bi = np.searchsorted(ids_s, b_)
-                d = np.einsum("ij,ij->i", qs[ai], qs[bi])
+                d = np.einsum("ij,ij->i", qs[ai], qs[bi], dtype=acc)
+                keep = (
+                    d.astype(np.float64) / (rn_[ai] * rn_[bi])
+                ) >= pre_gate
                 yield pa.RecordBatch.from_arrays(
-                    [batch.column(0), batch.column(1),
-                     pa.array(d, type=pa.int64())],
+                    [pa.array(a[keep], type=pa.int64()),
+                     pa.array(b_[keep], type=pa.int64()),
+                     pa.array(d[keep].astype(np.int64), type=pa.int64())],
                     names=["a_id", "b_id", "dot"],
                 )
 
@@ -3311,7 +3344,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         (F.col("b.sa") == F.col("a.sa"))
         & (F.col("b.doc_id") < F.col("a.doc_id"))
     )
-    cand = (
+    cand_raw = (
         pref.alias("a")
         .join(idx.alias("b"), F.col("a.pk") == F.col("b.pk"))
         .where(lex & len_ok & pos_ok)
@@ -3319,8 +3352,8 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
         )
-        .distinct()
     )
+    cand = cand_raw.distinct()
     # -- exact verification ------------------------------------------------
     # r6 second revision (guide §4.2, the same measurement story as the
     # banded-LSH dot product): at sf1.0 the per-candidate
@@ -3389,24 +3422,27 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             ga.sort(axis=1, kind="stable")
         gb = np.where(ga >= n_uniq, ga + 1, ga)  # odd pads for the B side
         ids_sorted = ids[order]
+        lens_sorted = np.ascontiguousarray(lens[np.argsort(ids)])
         # int32 matrices (gate guarantees n_uniq + 2*lmax + 2 < 2^31):
         # halves the broadcast and the per-batch sort traffic — measured
         # 3.2x on the kernel vs int64 offset-searchsorted
         bc = spark.sparkContext.broadcast(
-            (ids_sorted, ga.astype(np.int32), gb.astype(np.int32))
+            (ids_sorted, ga.astype(np.int32), gb.astype(np.int32),
+             lens_sorted)
         )
 
         def _inter_batches(batches):
             import numpy as np
             import pyarrow as pa
 
-            ids_s, ga_, gb_ = bc.value
+            ids_s, ga_, gb_, lens_ = bc.value
             for batch in batches:
                 a = batch.column(0).to_numpy(zero_copy_only=False)
                 b_ = batch.column(1).to_numpy(zero_copy_only=False)
                 m = len(a)
                 if m == 0 or ga_.size == 0:
                     inter = np.zeros(m, dtype=np.int64)
+                    keep = np.zeros(m, dtype=bool)
                 else:
                     ai = np.searchsorted(ids_s, a)
                     bi = np.searchsorted(ids_s, b_)
@@ -3420,13 +3456,32 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                     inter = (c[:, 1:] == c[:, :-1]).sum(
                         axis=1, dtype=np.int64
                     )
+                    # the τ gate is pure int64 arithmetic — EXACTLY the
+                    # JVM predicate below — so applying it here only
+                    # shrinks the Arrow return stream and the size-attach
+                    # joins to the true result set; the JVM gate then
+                    # passes every returned row unchanged
+                    union = lens_[ai] + lens_[bi] - inter
+                    keep = _JACC_DEN * inter >= _JACC_NUM * union
                 yield pa.RecordBatch.from_arrays(
-                    [batch.column(0), batch.column(1),
-                     pa.array(inter, type=pa.int64())],
+                    [pa.array(a[keep], type=pa.int64()),
+                     pa.array(b_[keep], type=pa.int64()),
+                     pa.array(inter[keep], type=pa.int64())],
                     names=["a_id", "b_id", "inter_n"],
                 )
 
-        withint = cand.mapInArrow(
+        # the Arrow path verifies the RAW candidate stream (measured
+        # duplicate-pair multiplicity 1.04×) and dedups AFTER the exact
+        # τ gate: the candidate `distinct` was the single biggest
+        # exchange of the query (sf3: 33 s for 300 M pair rows vs 3.7 s
+        # to enumerate them), while re-verifying a duplicate costs ~100
+        # ns of kernel; duplicates of a pair produce identical rows, so
+        # the post-gate distinct over the true result set is exact. The
+        # JVM fallback below keeps the pre-verify distinct — its per-row
+        # verify is ~60 ns/element, so there the worst-case multiplicity
+        # blow-up (up to index-prefix-length on duplicate-saturated
+        # corpora) is the bigger risk.
+        withint = cand_raw.mapInArrow(
             _inter_batches, "a_id bigint, b_id bigint, inter_n bigint"
         )
         inter = F.col("inter_n")
@@ -3442,6 +3497,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                 union.cast("bigint").alias("union_sz"),
                 F.round(inter / union, 6).alias("jaccard"),
             )
+            .distinct()
         )
     va = F.broadcast(sets.select(
         F.col("doc_id").alias("a_id"),
