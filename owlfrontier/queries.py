@@ -3423,12 +3423,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         gb = np.where(ga >= n_uniq, ga + 1, ga)  # odd pads for the B side
         ids_sorted = ids[order]
         lens_sorted = np.ascontiguousarray(lens[np.argsort(ids)])
-        # int32 matrices (gate guarantees n_uniq + 2*lmax + 2 < 2^31):
-        # halves the broadcast and the per-batch sort traffic — measured
-        # 3.2x on the kernel vs int64 offset-searchsorted
+        # narrowest exact id dtype (largest value = the top B-side pad
+        # n_uniq + 2*lmax + 1; the cells gate already guarantees < 2^31):
+        # int16 when the dictionary fits halves the per-batch sort
+        # traffic again — measured 5.8 vs 10.4 ms / 10k-pair batch
+        id_t = (
+            np.int16
+            if n_uniq + 2 * lmax + 1 <= np.iinfo(np.int16).max
+            else np.int32
+        )
         bc = spark.sparkContext.broadcast(
-            (ids_sorted, ga.astype(np.int32), gb.astype(np.int32),
-             lens_sorted)
+            (ids_sorted, ga.astype(id_t), gb.astype(id_t), lens_sorted)
         )
 
         def _inter_batches(batches):
@@ -3446,13 +3451,15 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                 else:
                     ai = np.searchsorted(ids_s, a)
                     bi = np.searchsorted(ids_s, b_)
-                    # per-pair concat of the two sorted unique rows; the
-                    # rowwise stable sort merges the two runs in O(L),
-                    # and adjacent equality == shared real gram id
-                    # (probe pads are even past the universe, index pads
-                    # odd — pads never match anything)
+                    # per-pair concat of the two sorted unique rows,
+                    # rowwise sort, adjacent equality == shared real
+                    # gram id (probe pads are even past the universe,
+                    # index pads odd — pads never match anything).
+                    # Default (unstable) sort: only values are compared
+                    # afterwards, and it measured ~1.8x faster than the
+                    # stable merge on these short int rows
                     c = np.concatenate([ga_[ai], gb_[bi]], axis=1)
-                    c.sort(axis=1, kind="stable")
+                    c.sort(axis=1)
                     inter = (c[:, 1:] == c[:, :-1]).sum(
                         axis=1, dtype=np.int64
                     )
