@@ -262,7 +262,16 @@ class CrawlEngine:
         if self._scores is not None and cfg.priority == "score":
             self._scores = self._scores.persist()
             scores_pinned = True
+        try:
+            return self._run_generations(
+                frontier, g, crawled_gens, metrics
+            )
+        finally:
+            if scores_pinned:
+                self._scores.unpersist()
 
+    def _run_generations(self, frontier, g, crawled_gens, metrics) -> dict:
+        cfg = self.config
         frontier_size = frontier.count()
         while g < cfg.max_generations:
             t_gen = time.time()
@@ -292,8 +301,6 @@ class CrawlEngine:
             frontier = self.store.read_gen("frontier", g + 1)
             frontier_size = m["next_frontier"]
             g += 1
-        if scores_pinned:
-            self._scores.unpersist()
         return self._summary(crawled_gens, metrics)
 
     def add_seeds(self, seeds: list[str] | DataFrame) -> int:

@@ -160,7 +160,10 @@ def _labels_by_propagation(
         if cur == prev:
             break
         prev = cur
-    if labels is None:  # max_rounds == 0: identity labels
+    if labels is None:  # max_rounds == 0: supernode identity — every
+        # node still maps through the contraction below, i.e. gets
+        # label min(N(u) ∪ {u}), NOT label u (the contraction prepass
+        # counts as one propagation hop; see the docstring)
         labels = supernodes.select("id", F.col("id").alias("component"))
     # map every original node through its supernode's final label
     lab = F.broadcast(labels) if bcast else labels
@@ -252,9 +255,15 @@ def connected_components(
     """→ (id, component) with component = min node id in the component.
 
     ``nodes`` needs an ``id`` column (every vertex, including isolated
-    ones); ``edges`` needs ``src``/``dst``. ``mode="label"`` converges in
-    diameter rounds (near-dup graphs); ``mode="star"`` in O(log² n)
-    rounds for ANY graph shape (the 10^10-scale default)."""
+    ones); ``edges`` needs ``src``/``dst``, and every edge endpoint must
+    be present in ``nodes`` (all in-repo callers derive edges from the
+    node table, so this holds by construction; the label mode's
+    contraction prepass would otherwise adopt a foreign endpoint id as
+    a component label). ``mode="label"`` converges in diameter rounds
+    (near-dup graphs; the min-neighbor contraction prepass counts as
+    one hop, so ``max_rounds`` bounds the rounds AFTER it);
+    ``mode="star"`` in O(log² n) rounds for ANY graph shape (the
+    10^10-scale default)."""
     if mode == "label":
         labels = _labels_by_propagation(nodes, edges, max_rounds)
         return (labels, None) if return_rounds else labels

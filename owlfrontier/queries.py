@@ -1447,8 +1447,15 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
         f"% {1 << _LSH_BAND_PLANES} THEN {bi}L"
         for bi in range(_LSH_BANDS - 1)
     ) + f" ELSE {_LSH_BANDS - 1}L END"
+    # the broadcast hint on the index side is applied only inside the
+    # size gate below (4n rows of 32 B — bounded by the same posture as
+    # the vector-matrix collect); beyond the gate the planner chooses
+    # the join strategy, so an arbitrarily large vector table degrades
+    # to a shuffled join instead of blowing the 8 GB broadcast cap
+    n_vec = _obs_bk.get["n"]
+    in_gate = n_vec <= _ARROW_DOT_MAX_VECS
     cand = (
-        a.join(F.broadcast(b), ["band", "bb"])
+        a.join(F.broadcast(b) if in_gate else b, ["band", "bb"])
         .where(F.col("a_id") < F.col("b_id"))
         .where(F.col("band") == F.expr(first_band))
         .select("a_id", "b_id")
@@ -1469,8 +1476,7 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
     # vector-table size: beyond _ARROW_DOT_MAX_VECS (the same "fits in
     # a broadcast" posture the array-attach joins already assume) the
     # HOF-fold path below is the plan, unchanged from r6-rev1.
-    n_vec = _obs_bk.get["n"]
-    if n_vec <= _ARROW_DOT_MAX_VECS:
+    if in_gate:
         va_n = F.broadcast(bk.select(
             F.col("vec_id").alias("a_id"), F.col("rn").alias("rna"),
         ))
@@ -1530,9 +1536,14 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
                 ai = np.searchsorted(ids_s, a)
                 bi = np.searchsorted(ids_s, b_)
                 d = np.einsum("ij,ij->i", qs[ai], qs[bi], dtype=acc)
-                keep = (
-                    d.astype(np.float64) / (rn_[ai] * rn_[bi])
-                ) >= pre_gate
+                # keep == NOT(cos < gate): NaN cos (zero-norm vector)
+                # must SURVIVE the pre-gate — Spark SQL and DuckDB both
+                # order NaN above every number, so the JVM's
+                # round(cos,6) >= τ keeps those rows and the kernel
+                # must not drop them
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cospy = d.astype(np.float64) / (rn_[ai] * rn_[bi])
+                keep = ~(cospy < pre_gate)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(a[keep], type=pa.int64()),
                      pa.array(b_[keep], type=pa.int64()),
@@ -1549,14 +1560,18 @@ def q_ann_lsh_pairs_banded(spark, sf_dir):
             .select("a_id", "b_id", F.round(cos, 6).alias("cos_q"))
             .where(F.col("cos_q") >= _LSH_PAIR_COS)
         )
-    va = F.broadcast(bk.select(
+    # beyond-gate fallback: NO broadcast hints — the vector table is by
+    # definition too big for the driver here, so the planner picks the
+    # join strategy (a shuffled join at true scale, an auto-broadcast at
+    # the test sizes that force this path)
+    va = bk.select(
         F.col("vec_id").alias("a_id"), F.col("q").alias("qa"),
         F.col("rn").alias("rna"),
-    ))
-    vb = F.broadcast(bk.select(
+    )
+    vb = bk.select(
         F.col("vec_id").alias("b_id"), F.col("q").alias("qb"),
         F.col("rn").alias("rnb"),
-    ))
+    )
     # dot via one zip_with/aggregate fold (measured: an unrolled
     # qa[0]*qb[0]+… flat sum was 12× SLOWER — the giant expression tree
     # drops out of codegen into interpreted per-element GetArrayItem)
@@ -3405,7 +3420,6 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         # pad ids live at [n_uniq, n_uniq + 2*lmax): even = probe side,
         # odd = index side — never equal to a real code or to each other
         pads_a = n_uniq + 2 * np.arange(lmax, dtype=np.int64)
-        pads_b = pads_a + 1
         order = np.argsort(ids, kind="stable")
         row_of = np.empty(len(ids), dtype=np.int64)
         row_of[order] = np.arange(len(ids))
@@ -3422,7 +3436,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             ga.sort(axis=1, kind="stable")
         gb = np.where(ga >= n_uniq, ga + 1, ga)  # odd pads for the B side
         ids_sorted = ids[order]
-        lens_sorted = np.ascontiguousarray(lens[np.argsort(ids)])
+        lens_sorted = np.ascontiguousarray(lens[order])
         # narrowest exact id dtype (largest value = the top B-side pad
         # n_uniq + 2*lmax + 1; the cells gate already guarantees < 2^31):
         # int16 when the dictionary fits halves the per-batch sort
@@ -3506,16 +3520,20 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             )
             .distinct()
         )
-    va = F.broadcast(sets.select(
+    # beyond-gate fallback: NO broadcast hints — this path only runs
+    # when the digest table exceeds the driver-collect gate, so the
+    # planner picks the join strategy (shuffled at true scale,
+    # auto-broadcast at the test sizes that force this path)
+    va = sets.select(
         F.col("doc_id").alias("a_id"),
         F.col("h8").alias("ha"),
         F.col("sa").alias("na"),
-    ))
-    vb = F.broadcast(sets.select(
+    )
+    vb = sets.select(
         F.col("doc_id").alias("b_id"),
         F.col("h8").alias("hb"),
         F.col("sa").alias("nb"),
-    ))
+    )
     inter = F.size(F.array_intersect("ha", "hb"))
     union = F.col("na") + F.col("nb") - inter
     return (
